@@ -1,0 +1,245 @@
+"""SO(3)/SE(3) utilities: rotation constructors, composition, distances.
+
+TPU-native re-design of the reference geometry utilities
+(/root/reference/torch_robotics/torch_kinematics_tree/geometrics/utils.py and
+spatial_vector.py): pure batched jnp functions; transforms are carried either
+as (R, t) pairs (preferred inside kernels, avoids the wasted 4th row) or as
+(..., 4, 4) homogeneous matrices at API boundaries.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .quaternion import rotation_matrix_to_q
+
+DEFAULT_ACOS_BOUND: float = 1.0 - 1e-4
+
+__all__ = [
+    "x_rot", "y_rot", "z_rot", "rpy_to_rotation_matrix", "axis_angle_rotation",
+    "multiply_transform", "multiply_inv_transform", "invert_transform",
+    "transform_point", "rotate_point", "pack_homogeneous", "unpack_homogeneous",
+    "vector3_to_skew_symm_matrix", "skew_symm_matrix_to_vec",
+    "SE3_distance", "so3_relative_angle", "so3_rotation_angle",
+    "acos_linear_extrapolation", "log_SO3", "exp_map_so3",
+    "link_pos_from_link_tensor", "link_rot_from_link_tensor",
+    "link_quat_from_link_tensor",
+]
+
+
+def _rot_from_cs(c, s, axis):
+    """Rotation matrix about a coordinate axis from cos/sin values."""
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    if axis == 0:
+        rows = [one, zero, zero, zero, c, -s, zero, s, c]
+    elif axis == 1:
+        rows = [c, zero, s, zero, one, zero, -s, zero, c]
+    else:
+        rows = [c, -s, zero, s, c, zero, zero, zero, one]
+    return jnp.stack(rows, axis=-1).reshape(jnp.shape(c) + (3, 3))
+
+
+def x_rot(angle):
+    angle = jnp.asarray(angle)
+    return _rot_from_cs(jnp.cos(angle), jnp.sin(angle), 0)
+
+
+def y_rot(angle):
+    angle = jnp.asarray(angle)
+    return _rot_from_cs(jnp.cos(angle), jnp.sin(angle), 1)
+
+
+def z_rot(angle):
+    angle = jnp.asarray(angle)
+    return _rot_from_cs(jnp.cos(angle), jnp.sin(angle), 2)
+
+
+def rpy_to_rotation_matrix(rpy):
+    """URDF fixed-frame rotation: R = Rz(yaw) @ Ry(pitch) @ Rx(roll).
+
+    Matches the joint-origin convention in the reference
+    (models/rigid_body.py:89-93).
+    """
+    rpy = jnp.asarray(rpy)
+    return z_rot(rpy[..., 2]) @ y_rot(rpy[..., 1]) @ x_rot(rpy[..., 0])
+
+
+def axis_angle_rotation(axis, angle):
+    """Rodrigues rotation about a (constant, unit) 3-vector axis.
+
+    For axis = +-e_i this reduces exactly to x/y/z_rot(sign * angle), which is
+    what the reference special-cases (rigid_body.py:162-168); this general
+    form additionally supports arbitrary joint axes.
+    axis: (..., 3); angle: (...,) -> (..., 3, 3)
+    """
+    axis = jnp.asarray(axis)
+    angle = jnp.asarray(angle)
+    c = jnp.cos(angle)[..., None, None]
+    s = jnp.sin(angle)[..., None, None]
+    K = vector3_to_skew_symm_matrix(axis)
+    eye = jnp.eye(3, dtype=K.dtype)
+    return eye + s * K + (1.0 - c) * (K @ K)
+
+
+def vector3_to_skew_symm_matrix(vec3):
+    vec3 = jnp.asarray(vec3)
+    x, y, z = jnp.moveaxis(vec3, -1, 0)
+    zero = jnp.zeros_like(x)
+    rows = [zero, -z, y, z, zero, -x, -y, x, zero]
+    return jnp.stack(rows, axis=-1).reshape(vec3.shape[:-1] + (3, 3))
+
+
+def skew_symm_matrix_to_vec(R):
+    R = jnp.asarray(R)
+    return jnp.stack([R[..., 2, 1], R[..., 0, 2], R[..., 1, 0]], axis=-1)
+
+
+def multiply_transform(w_rot_l, w_trans_l, l_rot_c, l_trans_c):
+    """Compose (R_wl, t_wl) with (R_lc, t_lc) -> (R_wc, t_wc)."""
+    w_rot_c = w_rot_l @ l_rot_c
+    w_trans_c = jnp.einsum("...ij,...j->...i", w_rot_l, l_trans_c) + w_trans_l
+    return w_rot_c, w_trans_c
+
+
+def invert_transform(rot, trans):
+    rot_t = jnp.swapaxes(rot, -1, -2)
+    return rot_t, -jnp.einsum("...ij,...j->...i", rot_t, trans)
+
+
+def multiply_inv_transform(l_rot_w, l_trans_w, l_rot_c, l_trans_c):
+    inv_rot, inv_trans = invert_transform(l_rot_w, l_trans_w)
+    return multiply_transform(inv_rot, inv_trans, l_rot_c, l_trans_c)
+
+
+def transform_point(point, rot, trans):
+    """Apply (R, t) to points in row-vector form: point @ R^T + t.
+
+    point: (..., 3) or (..., n, 3); broadcasts like the reference
+    (geometrics/utils.py:32-34).
+    """
+    return rotate_point(point, rot) + trans
+
+
+def rotate_point(point, rot):
+    """point @ R^T in row-vector form (geometrics/utils.py:38-40)."""
+    return jnp.matmul(point[..., None, :], jnp.swapaxes(rot, -1, -2))[..., 0, :]
+
+
+def pack_homogeneous(rot, trans):
+    """(R, t) -> (..., 4, 4)."""
+    batch = jnp.broadcast_shapes(rot.shape[:-2], trans.shape[:-1])
+    rot = jnp.broadcast_to(rot, batch + (3, 3))
+    trans = jnp.broadcast_to(trans, batch + (3,))
+    top = jnp.concatenate([rot, trans[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype), batch + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def unpack_homogeneous(H):
+    return H[..., :3, :3], H[..., :3, 3]
+
+
+def acos_linear_extrapolation(x, bounds=(-DEFAULT_ACOS_BOUND, DEFAULT_ACOS_BOUND)):
+    """arccos with 1st-order Taylor extrapolation outside ``bounds``.
+
+    Keeps gradients finite near +-1 — same contract as the reference
+    (geometrics/utils.py:233-267) but branchless via jnp.where.
+    """
+    lower, upper = bounds
+    if lower > upper:
+        raise ValueError("lower bound has to be smaller or equal to upper bound.")
+    if lower <= -1.0 or upper >= 1.0:
+        raise ValueError("Both lower bound and upper bound have to be within (-1, 1).")
+    x = jnp.asarray(x)
+
+    def _linear(xv, x0):
+        dacos = -1.0 / np.sqrt(1.0 - x0 * x0)
+        return (xv - x0) * dacos + np.arccos(x0)
+
+    x_mid = jnp.clip(x, lower, upper)
+    res = jnp.arccos(x_mid)
+    res = jnp.where(x >= upper, _linear(x, upper), res)
+    res = jnp.where(x <= lower, _linear(x, lower), res)
+    return res
+
+
+def so3_rotation_angle(R, cos_angle=False, eps=1e-4):
+    rot_trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    phi_cos = (rot_trace - 1.0) * 0.5
+    if cos_angle:
+        return phi_cos
+    if eps > 0.0:
+        bound = 1.0 - eps
+        return acos_linear_extrapolation(phi_cos, (-bound, bound))
+    return jnp.arccos(phi_cos)
+
+
+def so3_relative_angle(R1, R2, cos_angle=False, eps=1e-4):
+    R12 = R1 @ jnp.swapaxes(R2, -1, -2)
+    return so3_rotation_angle(R12, cos_angle=cos_angle, eps=eps)
+
+
+def SE3_distance(H_batch, H_target, w_pos=1.0, w_rot=1.0):
+    """Weighted SE(3) distance between homogeneous transforms.
+
+    D = w_rot * (1 - cos(angle(R1 R2^T))) + w_pos * ||t1 - t2||, matching the
+    reference (geometrics/utils.py:130-154).
+    """
+    H_batch = jnp.asarray(H_batch)
+    H_target = jnp.asarray(H_target)
+    x_batch = H_batch[..., :-1, -1]
+    x_target = H_target[..., :-1, -1]
+    D = 0.0
+    if w_rot > 0.0:
+        R_distance = 1.0 - so3_relative_angle(
+            H_batch[..., :3, :3], H_target[..., :3, :3], cos_angle=True)
+        D = D + w_rot * R_distance
+    if w_pos > 0.0:
+        D = D + w_pos * jnp.linalg.norm(x_batch - x_target, axis=-1)
+    return D
+
+
+def log_SO3(R, eps=1.0e-14):
+    """Matrix log of a rotation: returns theta * omega_hat (skew matrix)."""
+    trR = (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) / 2.0
+    trR = jnp.clip(trR, -1.0, 1.0)
+    theta = jnp.arccos(trR)[..., None, None]
+    omegahat = (R - jnp.swapaxes(R, -1, -2)) / (2.0 * jnp.sin(theta) + eps)
+    return theta * omegahat
+
+
+def exp_map_so3(omega, eps=1.0e-14):
+    """Exponential map of a 3-vector: Rodrigues with Taylor-safe coefficients."""
+    omega = jnp.asarray(omega)
+    omegahat = vector3_to_skew_symm_matrix(omega)
+    norm = jnp.linalg.norm(omega, axis=-1)[..., None, None]
+    eye = jnp.eye(3, dtype=omega.dtype)
+    return (eye + (jnp.sin(norm) / (norm + eps)) * omegahat
+            + ((1.0 - jnp.cos(norm)) / jnp.square(norm + eps)) * (omegahat @ omegahat))
+
+
+def minus_SO3(R1, R2, eps=1.0e-14):
+    return skew_symm_matrix_to_vec(log_SO3(R1 @ jnp.swapaxes(R2, -1, -2), eps=eps))
+
+
+def link_pos_from_link_tensor(link_tensor):
+    """Extract positions from (.., 3, 3) planar or (.., 4, 4) spatial poses."""
+    if link_tensor.shape[-1] == 3:
+        return link_tensor[..., :2, 2]
+    if link_tensor.shape[-1] == 4:
+        return link_tensor[..., :3, 3]
+    raise ValueError(f"unexpected link tensor trailing dim {link_tensor.shape[-1]}")
+
+
+def link_rot_from_link_tensor(link_tensor):
+    if link_tensor.shape[-1] == 3:
+        return link_tensor[..., :2, :2]
+    if link_tensor.shape[-1] == 4:
+        return link_tensor[..., :3, :3]
+    raise ValueError(f"unexpected link tensor trailing dim {link_tensor.shape[-1]}")
+
+
+def link_quat_from_link_tensor(link_tensor):
+    return rotation_matrix_to_q(link_rot_from_link_tensor(link_tensor))
