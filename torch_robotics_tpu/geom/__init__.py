@@ -1,0 +1,6 @@
+from .sdf import (
+    Spheres, SharpBoxes, RoundedBoxes, ObjectField,
+    MultiSphereField, MultiSharpBoxField, MultiBoxField,
+)
+from .grid_sdf import GridSDF, precompute_sdf_grid
+from .occupancy import OccupancyMap, build_occupancy_map
