@@ -1,0 +1,160 @@
+"""Batched forward kinematics and Jacobians on a compiled KinematicModel.
+
+Replaces the reference's recursive stateful FK
+(/root/reference/torch_robotics/torch_kinematics_tree/models/rigid_body.py:146-211
+and robot_tree.py:267-301) with a statically-unrolled chain of batched (R, t)
+composes over the topological link order.  Everything is pure: ``fk(model, q)``
+jits, vmaps and differentiates.
+
+The small 3x3 matmuls in the chain run with ``precision=HIGHEST`` so float32
+results on TPU match the CPU reference within the 1e-3 parity budget (the MXU
+defaults to bf16 inputs otherwise).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.se3 import axis_angle_rotation, pack_homogeneous
+from .model import JOINT_FIXED, KinematicModel
+
+__all__ = [
+    "local_joint_transforms", "fk_rot_trans", "fk_all_links",
+    "fk_link_positions", "geometric_jacobian", "analytical_jacobian",
+]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def local_joint_transforms(model: KinematicModel, q):
+    """Per-link local (R, t) from joint values.
+
+    q: (..., n_dofs) -> R: (..., n_links, 3, 3), t: (..., n_links, 3)
+    """
+    q = jnp.asarray(q)
+    # gather per-link joint values (0 where fixed), clamp to limits
+    if model.n_dofs > 0:
+        q_link = q[..., model.q_map]
+    else:
+        q_link = jnp.zeros(q.shape[:-1] + (model.n_links,), q.dtype)
+    has_q = model.rot_mask + model.prism_mask
+    q_link = q_link * has_q
+    q_link = jnp.clip(q_link, model.clamp_lower, model.clamp_upper)
+
+    angle = q_link * model.rot_mask
+    R_joint = axis_angle_rotation(model.joint_axis, angle)
+    R = jnp.matmul(model.joint_fixed_rot, R_joint, precision=_PREC)
+    t = model.joint_trans + model.joint_axis * (q_link * model.prism_mask)[..., None]
+    return R, t
+
+
+def fk_rot_trans(model: KinematicModel, q, base_rot=None, base_trans=None):
+    """World (R, t) for every link.
+
+    q: (..., n_dofs) -> R: (..., n_links, 3, 3), t: (..., n_links, 3)
+
+    The compose chain is unrolled over the static topological order; each step
+    is one batched 3x3 matmul + matvec, which XLA fuses across the batch.
+    An optional base pose places the root link in the world.
+    """
+    R_loc, t_loc = local_joint_transforms(model, q)
+    topo = model.topological_order()
+
+    R_world = [None] * model.n_links
+    t_world = [None] * model.n_links
+    for i in topo:
+        p = model.parent_idx[i]
+        Ri = R_loc[..., i, :, :]
+        ti = t_loc[..., i, :]
+        if p < 0:
+            if base_rot is not None:
+                Ri = jnp.matmul(base_rot, Ri, precision=_PREC)
+                ti = (jnp.matmul(base_rot, ti[..., None],
+                                 precision=_PREC)[..., 0] + base_trans)
+            R_world[i] = Ri
+            t_world[i] = ti
+        else:
+            Rp, tp = R_world[p], t_world[p]
+            R_world[i] = jnp.matmul(Rp, Ri, precision=_PREC)
+            t_world[i] = jnp.matmul(Rp, ti[..., None],
+                                    precision=_PREC)[..., 0] + tp
+    return (jnp.stack(R_world, axis=-3), jnp.stack(t_world, axis=-2))
+
+
+def fk_all_links(model: KinematicModel, q, link_list: Optional[Sequence[str]] = None,
+                 base_rot=None, base_trans=None):
+    """Stateless FK for all links as homogeneous matrices.
+
+    q: (..., n_dofs) -> (..., n_links, 4, 4) in URDF file order, matching the
+    reference ``compute_forward_kinematics_all_links`` (robot_tree.py:267-301).
+    ``link_list`` selects/orders a subset of links.
+    """
+    R, t = fk_rot_trans(model, q, base_rot=base_rot, base_trans=base_trans)
+    H = pack_homogeneous(R, t)
+    if link_list is not None:
+        idxs = np.array([model.link_index(n) for n in link_list])
+        H = H[..., idxs, :, :]
+    return H
+
+
+def fk_link_positions(model: KinematicModel, q, link_idxs=None):
+    """World positions of (a subset of) links: q (..., n_dofs) -> (..., L, 3)."""
+    _, t = fk_rot_trans(model, q)
+    if link_idxs is not None:
+        t = t[..., jnp.asarray(link_idxs), :]
+    return t
+
+
+def geometric_jacobian(model: KinematicModel, q, link_name: str):
+    """Geometric Jacobian of one link frame.
+
+    q: (..., n_dofs) -> (lin_jac, ang_jac): (..., 3, n_dofs).
+
+    Vectorized over joints (the reference loops in Python,
+    robot_tree.py:238-246) using a static ancestry mask: column j is
+    z_j x (p_ee - p_j) / z_j if joint j is an ancestor of the link, else 0.
+    Prismatic joints contribute z_j to the linear part instead.
+    """
+    R, t = fk_rot_trans(model, q)
+    ee_idx = model.link_index(link_name)
+    p_ee = t[..., ee_idx, :]
+
+    ctrl = list(model.controlled_link_idxs())
+    idxs = jnp.asarray(np.array(ctrl, np.int32))
+    R_j = R[..., idxs, :, :]
+    p_j = t[..., idxs, :]
+    axis_j = model.joint_axis[idxs]
+    z_j = jnp.matmul(R_j, axis_j[..., None], precision=_PREC)[..., 0]
+
+    ancestry = model.ancestry_matrix()[ee_idx]  # (n_dofs,)
+    mask = jnp.asarray(ancestry, q.dtype)[..., None]
+    prism = model.prism_mask[idxs][..., None]
+
+    lin_rev = jnp.cross(z_j, p_ee[..., None, :] - p_j)
+    lin = jnp.where(prism > 0, z_j, lin_rev) * mask
+    ang = z_j * (1.0 - prism) * mask
+    return (jnp.swapaxes(lin, -1, -2), jnp.swapaxes(ang, -1, -2))
+
+
+def analytical_jacobian(model: KinematicModel, q, link_list=None):
+    """Jacobian of stacked [pos(3), quat(4)] per link via forward-mode AD.
+
+    Mirrors the reference ``compute_analytical_jacobian_all_links``
+    (robot_tree.py:250-265) but uses jacfwd instead of autograd-of-sum.
+    q: (n_dofs,) or (B, n_dofs) -> (B, n_links, 7, n_dofs)
+    """
+    from ..core.se3 import link_pos_from_link_tensor, link_quat_from_link_tensor
+
+    def f(q_single):
+        H = fk_all_links(model, q_single, link_list=link_list)
+        return jnp.concatenate(
+            [link_pos_from_link_tensor(H), link_quat_from_link_tensor(H)],
+            axis=-1)
+
+    if q.ndim == 1:
+        return jax.jacfwd(f)(q)
+    return jax.vmap(jax.jacfwd(f))(q)
