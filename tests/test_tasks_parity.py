@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from golden_utils import load_golden
+from torch_robotics_tpu.envs import EnvDense2D, EnvSpheres3D
+from torch_robotics_tpu.robots import RobotPanda, RobotPointMass
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+@pytest.fixture(scope="module")
+def task_pm():
+    env = EnvDense2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    return PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+
+
+@pytest.fixture(scope="module")
+def task_panda():
+    env = EnvSpheres3D(precompute_sdf_obj_fixed=False)
+    robot = RobotPanda.create()
+    return PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+
+
+def test_env_dense2d_sdf_parity():
+    g = load_golden("env_dense2d_sdf")
+    x = jnp.asarray(g["x"])
+    env = EnvDense2D(precompute_sdf_obj_fixed=False)
+    np.testing.assert_allclose(env.compute_sdf(x), g["sdf_analytic"], atol=1e-5)
+    env_grid = EnvDense2D(precompute_sdf_obj_fixed=True, sdf_cell_size=0.01)
+    np.testing.assert_allclose(env_grid.grid_map_sdf_obj_fixed(x),
+                               g["sdf_grid_cell001"], atol=1e-4)
+
+
+def test_env_spheres3d_sdf_parity():
+    g = load_golden("env_spheres3d_sdf")
+    env = EnvSpheres3D(precompute_sdf_obj_fixed=False)
+    np.testing.assert_allclose(env.compute_sdf(jnp.asarray(g["x"])),
+                               g["sdf_analytic"], atol=1e-5)
+
+
+def test_pointmass_task_cost_parity(task_pm):
+    g = load_golden("task_pointmass_dense2d")
+    trajs = jnp.asarray(g["trajs"])
+    cost = task_pm.compute_collision_cost(trajs)
+    np.testing.assert_allclose(cost, g["collision_cost"], atol=1e-4)
+    coll = task_pm.compute_collision(trajs)
+    np.testing.assert_allclose(np.asarray(coll, np.float32), g["collision"])
+
+
+def test_panda_fk_collision_points_parity(task_panda):
+    g = load_golden("task_panda_spheres3d")
+    q = jnp.asarray(g["q"])
+    fk_pos = task_panda.robot.fk_map_collision(q)
+    np.testing.assert_allclose(fk_pos, g["fk_collision_pos"], atol=2e-5)
+
+
+def test_panda_collision_model_construction_parity(task_panda):
+    g = load_golden("task_panda_spheres3d")
+    robot = task_panda.robot
+    assert list(robot.object_coll_idxs) == [int(i) for i in
+                                            g["link_idxs_object_coll"]]
+    assert list(robot.self_coll_idxs) == [int(i) for i in
+                                          g["link_idxs_self_coll"]]
+    np.testing.assert_array_equal(np.asarray(robot.self_pair_idxs),
+                                  g["self_pair_idxs"].astype(np.int64))
+    np.testing.assert_allclose(robot.self_margins, g["self_margin"], atol=1e-7)
+    np.testing.assert_allclose(robot.object_margins, g["object_margins"],
+                               atol=1e-7)
+
+
+def test_panda_task_cost_parity(task_panda):
+    g = load_golden("task_panda_spheres3d")
+    q = jnp.asarray(g["q"])
+    cost = task_panda.compute_collision_cost(q)
+    np.testing.assert_allclose(cost, g["collision_cost"], rtol=1e-4, atol=1e-4)
+    coll = task_panda.compute_collision(q)
+    np.testing.assert_allclose(np.asarray(coll, np.float32), g["collision"])
+
+
+def test_random_coll_free_q(task_pm):
+    samples, n_valid = task_pm.random_coll_free_q(
+        jax.random.PRNGKey(0), n_samples=16, max_samples=512)
+    assert int(n_valid) == 16
+    assert not bool(jnp.any(task_pm.compute_collision(samples)))
+
+
+def test_trajs_split(task_pm):
+    key = jax.random.PRNGKey(1)
+    trajs = jax.random.uniform(key, (16, 8, 2), minval=-0.9, maxval=0.9)
+    coll, free = task_pm.get_trajs_collision_and_free(trajs)
+    n_coll = 0 if coll is None else len(coll)
+    n_free = 0 if free is None else len(free)
+    assert n_coll + n_free == 16
+    frac = task_pm.compute_fraction_free_trajs(trajs)
+    assert abs(frac - n_free / 16) < 1e-6
+    intensity = task_pm.compute_collision_intensity_trajs(trajs)
+    assert 0.0 <= intensity <= 1.0
+    assert task_pm.compute_success_free_trajs(trajs) in (0, 1)

@@ -1,0 +1,192 @@
+"""PlanningTask: robot + environment -> batched collision / cost evaluation.
+
+TPU-native re-design of the reference ``PlanningTask``
+(/root/reference/torch_robotics/tasks/tasks.py:22-328).  The task composes the
+collision fields (self / objects / extra objects / workspace bounds) and
+exposes pure, jit-compiled evaluators over state batches of any leading shape
+``(..., d)`` — the reference's shape-dispatch ladder (tasks.py:139-157)
+disappears under broadcasting.
+
+Parity notes:
+- 'sdf' cost = self + objects + ws-bounds costs summed (tasks.py:227-230);
+- 'occupancy' collision = logical OR of the three checks;
+- rejection sampling of collision-free configurations is a fixed-budget
+  masked computation (the reference loops with sys.exit on failure,
+  tasks.py:103-129 — data-dependent control flow does not jit);
+- trajectory splitting checks collisions on a linearly interpolated
+  trajectory with margin 0 and joint limits on the support points
+  (tasks.py:234-308).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..costs.fields import (object_collision_any, object_collision_cost,
+                            self_collision_any, self_collision_cost,
+                            workspace_bounds_any, workspace_bounds_cost)
+from ..trajectory.utils import interpolate_traj_via_points
+
+__all__ = ["PlanningTask"]
+
+
+class PlanningTask:
+    def __init__(self, env=None, robot=None, ws_limits=None,
+                 use_occupancy_map: bool = False, cell_size: float = 0.01,
+                 obstacle_cutoff_margin: float = 0.01,
+                 clamp_sdf_cost: bool = False):
+        self.env = env
+        self.robot = robot
+        self.ws_limits = env.limits if ws_limits is None else jnp.asarray(ws_limits)
+        self.ws_min = self.ws_limits[0]
+        self.ws_max = self.ws_limits[1]
+        self.obstacle_cutoff_margin = obstacle_cutoff_margin
+        self.clamp_sdf_cost = clamp_sdf_cost
+
+        self.use_occupancy_map = use_occupancy_map
+        if use_occupancy_map:
+            env.build_occupancy_map(cell_size=cell_size)
+
+        self.df_obj_list = env.get_df_obj_list()
+        self.df_extra_list = (env.get_df_obj_list(return_extra_objects_only=True)
+                              if env.obj_extra_list is not None else [])
+
+        self._cost_fn = jax.jit(self._compute_cost)
+        self._coll_fn = jax.jit(self._compute_collision, static_argnames=("margin_override",))
+
+    # ------------------------------------------------------------------
+    # Core evaluators
+    # ------------------------------------------------------------------
+    def _collision_points(self, q):
+        link_pos = self.robot.fk_map_collision(q)
+        return (self.robot.object_collision_points(link_pos),
+                self.robot.self_collision_points(link_pos))
+
+    def _compute_cost(self, q):
+        """'sdf' field-type cost per configuration: q (..., d) -> (...)."""
+        obj_pts, self_pts = self._collision_points(q)
+        cost = 0.0
+        if self_pts is not None:
+            cost = cost + self_collision_cost(
+                self_pts, np.asarray(self.robot.self_pair_idxs),
+                self.robot.self_margins, clamp=self.clamp_sdf_cost)
+        if self.df_obj_list:
+            cost = cost + object_collision_cost(
+                self.df_obj_list, obj_pts, self.robot.object_margins,
+                cutoff_margin=self.obstacle_cutoff_margin,
+                clamp=self.clamp_sdf_cost)
+        cost = cost + workspace_bounds_cost(
+            obj_pts, self.ws_min, self.ws_max, self.robot.object_margins,
+            cutoff_margin=self.obstacle_cutoff_margin,
+            clamp=self.clamp_sdf_cost)
+        return cost
+
+    def _compute_collision(self, q, margin_override: Optional[float] = None):
+        """'occupancy' field-type check: q (..., d) -> bool (...)."""
+        obj_pts, self_pts = self._collision_points(q)
+        if margin_override is None:
+            obj_margins = self.robot.object_margins
+            cutoff = self.obstacle_cutoff_margin
+            self_margins = (self.robot.self_margins
+                            if self_pts is not None else None)
+        else:
+            obj_margins = margin_override
+            cutoff = 0.0
+            self_margins = margin_override
+        coll = jnp.zeros(q.shape[:-1], bool)
+        if self_pts is not None:
+            coll = coll | self_collision_any(
+                self_pts, np.asarray(self.robot.self_pair_idxs), self_margins)
+        if self.df_obj_list:
+            coll = coll | object_collision_any(
+                self.df_obj_list, obj_pts, obj_margins, cutoff_margin=cutoff)
+        coll = coll | workspace_bounds_any(
+            obj_pts, self.ws_min, self.ws_max, obj_margins,
+            cutoff_margin=cutoff)
+        return coll
+
+    def compute_collision_cost(self, x):
+        """x: (..., d_state) states -> per-waypoint sdf cost (...)."""
+        return self._cost_fn(self.robot.get_position(x))
+
+    def compute_collision(self, x, margin=None):
+        """x: (..., d_state) states -> per-waypoint collision flags (...)."""
+        return self._coll_fn(self.robot.get_position(x), margin_override=margin)
+
+    # ------------------------------------------------------------------
+    # Sampling (tasks.py:97-129)
+    # ------------------------------------------------------------------
+    def sample_q(self, key, without_collision: bool = True, **kwargs):
+        if without_collision:
+            return self.random_coll_free_q(key, **kwargs)
+        return self.robot.random_q(key, **kwargs)
+
+    def random_coll_free_q(self, key, n_samples: int = 1,
+                           max_samples: int = 1000):
+        """Fixed-budget rejection sampling.
+
+        Draws ``max_samples`` candidates, returns the first ``n_samples``
+        collision-free ones plus the number found (mask-based; callers should
+        check ``n_valid`` — the reference sys.exit's instead, tasks.py:126-127).
+        """
+        qs = self.robot.random_q(key, max_samples)
+        in_coll = self._coll_fn(qs, margin_override=None)
+        free_idx = jnp.nonzero(~in_coll, size=n_samples, fill_value=0)[0]
+        n_valid = jnp.minimum(jnp.sum(~in_coll), n_samples)
+        samples = qs[free_idx]
+        if n_samples == 1:
+            samples = samples[0]
+        return samples, n_valid
+
+    # ------------------------------------------------------------------
+    # Trajectory splitting + metrics (tasks.py:234-328)
+    # ------------------------------------------------------------------
+    def trajs_collision_masks(self, trajs, num_interpolation: int = 5):
+        """Pure: per-trajectory collision flag and per-waypoint flags.
+
+        trajs: (..., H, D) -> (traj_in_collision (...), waypoint_colls
+        (..., H_interp)).  A trajectory is free iff no interpolated waypoint
+        collides AND all support positions are inside the joint limits.
+        """
+        trajs_pos = self.robot.get_position(trajs)
+        interp = interpolate_traj_via_points(trajs_pos, num_interpolation)
+        waypoint_colls = self._coll_fn(interp, margin_override=0.0)
+        any_coll = jnp.any(waypoint_colls, axis=-1)
+        in_limits = jnp.all((trajs_pos >= self.robot.q_min)
+                            & (trajs_pos <= self.robot.q_max), axis=(-1, -2))
+        return any_coll | ~in_limits, waypoint_colls
+
+    def get_trajs_collision_and_free(self, trajs, return_indices=False,
+                                     num_interpolation: int = 5):
+        """Host-side split into colliding / free trajectories."""
+        trajs = jnp.asarray(trajs)
+        coll_mask, waypoint_colls = self.trajs_collision_masks(
+            trajs, num_interpolation)
+        coll_mask_np = np.asarray(coll_mask).reshape(-1)
+        flat = np.asarray(trajs).reshape((-1,) + trajs.shape[-2:])
+        coll_idxs = np.nonzero(coll_mask_np)[0]
+        free_idxs = np.nonzero(~coll_mask_np)[0]
+        trajs_coll = flat[coll_idxs] if len(coll_idxs) else None
+        trajs_free = flat[free_idxs] if len(free_idxs) else None
+        if return_indices:
+            return trajs_coll, coll_idxs, trajs_free, free_idxs, waypoint_colls
+        return trajs_coll, trajs_free
+
+    def compute_fraction_free_trajs(self, trajs, **kwargs):
+        coll_mask, _ = self.trajs_collision_masks(trajs, **kwargs)
+        return float(jnp.mean(~coll_mask))
+
+    def compute_collision_intensity_trajs(self, trajs, **kwargs):
+        _, waypoint_colls = self.trajs_collision_masks(trajs, **kwargs)
+        return float(jnp.mean(waypoint_colls))
+
+    def compute_success_free_trajs(self, trajs, **kwargs):
+        coll_mask, _ = self.trajs_collision_masks(trajs, **kwargs)
+        return int(jnp.any(~coll_mask))
+
+    def distance_q(self, q1, q2):
+        return self.robot.distance_q(q1, q2)
