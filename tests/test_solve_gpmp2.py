@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.envs import EnvDense2D
+from torch_robotics_tpu.robots import RobotPointMass
+from torch_robotics_tpu.solve import (
+    GPMP2Params, gpmp2_init_trajs, gpmp2_solve,
+)
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    env = EnvDense2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    params = GPMP2Params.from_preset(task.env.get_gpmp2_params(robot))
+    return env, robot, task, params
+
+
+def test_params_from_preset(setup):
+    _, _, _, params = setup
+    assert params.n_support_points == 64
+    assert params.dt == 0.04
+    assert params.sigma_gp == pytest.approx(1e-2)
+    assert params.solver_delta == pytest.approx(1e-2)
+
+
+def test_gpmp2_point_mass_dense2d(setup):
+    """Minimum end-to-end slice (SURVEY.md §7): PointMass-2D in EnvDense2D,
+    batched GPMP2 solve; trajectories must reach the endpoints smoothly and
+    mostly leave collision."""
+    env, robot, task, params = setup
+    params = GPMP2Params(**{**params.__dict__, "opt_iters": 100,
+                            "num_samples": 16})
+
+    start_q = jnp.array([-0.9, -0.9])
+    goal_q = jnp.array([0.9, 0.9])
+    start_state = jnp.concatenate([start_q, jnp.zeros(2)])
+    goal_state = jnp.concatenate([goal_q, jnp.zeros(2)])
+
+    key = jax.random.PRNGKey(0)
+    theta0 = gpmp2_init_trajs(key, params, start_state, goal_state)
+    assert theta0.shape == (16, 64, 4)
+
+    result = gpmp2_solve(task.collision_residuals, theta0, start_state,
+                         goal_state, params)
+    trajs = result.trajs
+    assert trajs.shape == (16, 64, 4)
+    assert bool(jnp.all(jnp.isfinite(trajs)))
+
+    # endpoints pinned by the tight start/goal priors
+    np.testing.assert_allclose(trajs[:, 0, :2],
+                               jnp.tile(start_q, (16, 1)), atol=1e-2)
+    np.testing.assert_allclose(trajs[:, -1, :2],
+                               jnp.tile(goal_q, (16, 1)), atol=1e-2)
+
+    # most trajectories collision-free (straight line through EnvDense2D is
+    # in collision, so the solver must have moved them)
+    frac_free = task.compute_fraction_free_trajs(trajs)
+    assert frac_free >= 0.5, f"only {frac_free:.2f} free"
+
+    # collision cost decreased along the optimization
+    assert float(result.cost_trace[-1].mean()) < float(
+        result.cost_trace[0].mean())
+
+
+def test_gpmp2_straight_line_stays_when_free(setup):
+    """In an empty corner of the workspace the GP prior keeps the line."""
+    env, robot, task, params = setup
+    params = GPMP2Params(**{**params.__dict__, "opt_iters": 30,
+                            "num_samples": 4, "sigma_gp_init": 1e-3})
+    start_state = jnp.array([-0.95, -0.95, 0.0, 0.0])
+    goal_state = jnp.array([-0.95, 0.95, 0.0, 0.0])  # left edge, no obstacles
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(1), params, start_state,
+                              goal_state)
+    result = gpmp2_solve(task.collision_residuals, theta0, start_state,
+                         goal_state, params)
+    # x stays near -0.95 the whole way
+    assert float(jnp.abs(result.trajs[..., 0] + 0.95).max()) < 0.1

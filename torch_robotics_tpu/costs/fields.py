@@ -103,10 +103,11 @@ def self_collision_distances(points, pair_idxs):
     math with O(n_pairs) work.
     points: (..., P, d); pair_idxs: (n_pairs, 2) -> (..., n_pairs)
     """
+    from ..geom.sdf import safe_norm
     pair_idxs = np.asarray(pair_idxs)
     a = points[..., pair_idxs[:, 0], :]
     b = points[..., pair_idxs[:, 1], :]
-    return jnp.linalg.norm(a - b, axis=-1)
+    return safe_norm(a - b, axis=-1)
 
 
 def self_collision_cost(points, pair_idxs, margins, clamp=False):

@@ -42,6 +42,18 @@ def static_field(**kwargs):
     return dataclasses.field(metadata={"static": True}, **kwargs)
 
 
+def safe_norm(x, axis=-1):
+    """||x|| with a zero (not NaN) gradient at x = 0.
+
+    Values are bit-identical to jnp.linalg.norm; only the derivative at the
+    origin changes (0 subgradient), which keeps jacfwd/grad of SDFs finite
+    for points exactly on sphere centers or inside rounded boxes.
+    """
+    s = jnp.sum(jnp.square(x), axis=axis)
+    nonzero = s > 0.0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, s, 1.0)), 0.0)
+
+
 @_pytree_dataclass
 class Spheres:
     """A group of spheres: centers (n, dim), radii (n,)."""
@@ -54,7 +66,7 @@ class Spheres:
 
     def signed_distance(self, x):
         """x: (..., dim) -> (...,) min over spheres."""
-        d = jnp.linalg.norm(x[..., None, :] - self.centers, axis=-1)
+        d = safe_norm(x[..., None, :] - self.centers, axis=-1)
         return jnp.min(d - self.radii, axis=-1)
 
     def render(self, ax, pos=None, ori=None, color="gray", cmap="gray", **kw):
@@ -115,7 +127,7 @@ class RoundedBoxes:
              + self.round_radii[..., None])
         max_q = jnp.max(q, axis=-1)
         sdfs = (jnp.minimum(max_q, 0.0)
-                + jnp.linalg.norm(jax.nn.relu(q), axis=-1) - self.round_radii)
+                + safe_norm(jax.nn.relu(q), axis=-1) - self.round_radii)
         return jnp.min(sdfs, axis=-1)
 
     def render(self, ax, pos=None, ori=None, color="gray", cmap="gray", **kw):

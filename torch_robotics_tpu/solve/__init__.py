@@ -1,0 +1,6 @@
+from .btridiag import (block_tridiag_cholesky, block_tridiag_logdet,
+                       block_tridiag_solve, block_tridiag_solve_factored)
+from .gp_prior import (gp_Q_inv, gp_prior_terms, gp_transition,
+                       sample_gp_prior_trajs, straight_line_trajs)
+from .gpmp2 import (GPMP2Params, GPMP2Result, gpmp2_init_trajs, gpmp2_solve,
+                    gpmp2_step)

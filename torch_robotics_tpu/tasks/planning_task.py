@@ -57,6 +57,7 @@ class PlanningTask:
 
         self._cost_fn = jax.jit(self._compute_cost)
         self._coll_fn = jax.jit(self._compute_collision, static_argnames=("margin_override",))
+        self.collision_residuals = self._build_residual_fn()
 
     # ------------------------------------------------------------------
     # Core evaluators
@@ -108,6 +109,47 @@ class PlanningTask:
             obj_pts, self.ws_min, self.ws_max, obj_margins,
             cutoff_margin=cutoff)
         return coll
+
+    def _build_residual_fn(self):
+        """Per-waypoint hinge collision residuals for Gauss-Newton solvers.
+
+        Returns a stable function q (d,) -> (P,) stacking
+        relu(margin + cutoff - min-object-sdf) per object-collision point,
+        relu(margin - pair distance) per self-collision pair, and
+        relu(margin + cutoff - min-face distance) per point for workspace
+        bounds.  These are the residual-ized versions of the task's 'sdf'
+        costs (tasks.py:227-230), suitable for J^T J Hessian assembly.
+        """
+        robot = self.robot
+        df_obj_list = self.df_obj_list
+        cutoff = self.obstacle_cutoff_margin
+        ws_min, ws_max = self.ws_min, self.ws_max
+        pair_idxs = (np.asarray(robot.self_pair_idxs)
+                     if robot.self_pair_idxs is not None else None)
+
+        def residuals(q):
+            link_pos = robot.fk_map_collision(q)
+            obj_pts = robot.object_collision_points(link_pos)
+            parts = []
+            if df_obj_list:
+                sdf = None
+                for df in df_obj_list:
+                    s = df.signed_distance(obj_pts)
+                    sdf = s if sdf is None else jnp.minimum(sdf, s)
+                parts.append(jax.nn.relu(robot.object_margins + cutoff - sdf))
+            ws_d = jnp.min(jnp.concatenate(
+                [obj_pts - ws_min, ws_max - obj_pts], axis=-1), axis=-1)
+            parts.append(jax.nn.relu(robot.object_margins + cutoff - ws_d))
+            self_pts = robot.self_collision_points(link_pos)
+            if self_pts is not None and len(pair_idxs) > 0:
+                from ..geom.sdf import safe_norm
+                a = self_pts[..., pair_idxs[:, 0], :]
+                b = self_pts[..., pair_idxs[:, 1], :]
+                parts.append(jax.nn.relu(robot.self_margins
+                                         - safe_norm(a - b, axis=-1)))
+            return jnp.concatenate(parts, axis=-1)
+
+        return residuals
 
     def compute_collision_cost(self, x):
         """x: (..., d_state) states -> per-waypoint sdf cost (...)."""
