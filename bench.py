@@ -1,0 +1,87 @@
+"""Benchmark: Panda MPC solves/s on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (BASELINE.md): a "solve" is one receding-horizon MPC re-optimization
+of an H=64, 7-DoF Panda trajectory with sphere-SDF collision costs
+(EnvSpheres3D), warm-started, 2 Gauss-Newton iterations per step, batched over
+B independent scenario problems on one chip.  The north-star target is 1,000
+solves/s on a 16-chip v5e slice = 62.5 solves/s/chip; vs_baseline is measured
+against the per-chip share.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+B = 1024          # scenario batch per chip
+H = 64            # horizon (support points)
+N_STEPS = 8       # timed MPC steps per measurement
+N_REPEATS = 3
+TARGET_PER_CHIP = 1000.0 / 16.0
+
+
+def main():
+    from torch_robotics_tpu.envs import EnvSpheres3D
+    from torch_robotics_tpu.robots import RobotPanda
+    from torch_robotics_tpu.solve import GPMP2Params
+    from torch_robotics_tpu.solve.mpc import MPCParams, MPCState, mpc_step
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    env = EnvSpheres3D(precompute_sdf_obj_fixed=False)
+    robot = RobotPanda.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+    d = robot.q_dim
+
+    gp = GPMP2Params(n_support_points=H, dt=0.04, opt_iters=2,
+                     sigma_start=1e-3, sigma_gp=1e-1, sigma_goal_prior=1e-3,
+                     sigma_coll=1e-4, step_size=1.0)
+    params = MPCParams(gpmp2=gp, iters_per_step=2)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (B, d))
+    u2 = jax.random.uniform(k2, (B, d))
+    q_start = robot.q_min + 0.25 * (robot.q_max - robot.q_min) * (1 + u1) / 2
+    q_goal = robot.q_max - 0.25 * (robot.q_max - robot.q_min) * (1 + u2) / 2
+    start = jnp.concatenate([q_start, jnp.zeros_like(q_start)], axis=-1)
+    goal = jnp.concatenate([q_goal, jnp.zeros_like(q_goal)], axis=-1)
+
+    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+    theta0 = straight_line_trajs(start, goal, H)
+    state = MPCState(theta=theta0, x=start)
+
+    @jax.jit
+    def run_steps(state):
+        def body(s, _):
+            s_next, info = mpc_step(task.collision_residuals, s, goal, params)
+            return s_next, info["collision_cost"].mean()
+        return jax.lax.scan(body, state, None, length=N_STEPS)
+
+    # warm up (compile)
+    state_w, costs = run_steps(state)
+    jax.block_until_ready(costs)
+    assert bool(jnp.all(jnp.isfinite(state_w.theta))), "bench produced NaNs"
+
+    best = 0.0
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        state, costs = run_steps(state)
+        jax.block_until_ready(costs)
+        dt_s = time.perf_counter() - t0
+        solves_per_s = B * N_STEPS / dt_s
+        best = max(best, solves_per_s)
+
+    print(json.dumps({
+        "metric": "panda_mpc_solves_per_s_per_chip",
+        "value": round(best, 1),
+        "unit": "solves/s/chip (B=%d, H=%d, 2 GN iters/solve)" % (B, H),
+        "vs_baseline": round(best / TARGET_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

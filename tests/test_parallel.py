@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.envs import EnvDense2D
+from torch_robotics_tpu.parallel import (make_mesh, mpc_rollout_sharded,
+                                         shard_batch, solve_sharded)
+from torch_robotics_tpu.robots import RobotPointMass
+from torch_robotics_tpu.solve import GPMP2Params, gpmp2_init_trajs, gpmp2_solve
+from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    env = EnvDense2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    params = GPMP2Params(n_support_points=16, dt=0.04, opt_iters=20,
+                         sigma_start=1e-4, sigma_gp=1e-2,
+                         sigma_goal_prior=1e-4, sigma_coll=1e-3,
+                         step_size=0.5, sigma_gp_init=0.05)
+    return task, params
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_solve_sharded_matches_single_device(setup):
+    task, params = setup
+    mesh = make_mesh()
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), params, start, goal,
+                              num_samples=16)
+    res_single = gpmp2_solve(task.collision_residuals, theta0, start, goal,
+                             params)
+    theta0_sharded = shard_batch(theta0, mesh)
+    trajs, global_mean = solve_sharded(
+        task.collision_residuals, theta0_sharded, start, goal, params, mesh)
+    np.testing.assert_allclose(trajs, res_single.trajs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(global_mean, res_single.costs.mean(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mpc_rollout_reaches_goal(setup):
+    task, params = setup
+    mpc_params = MPCParams(gpmp2=params, iters_per_step=2)
+    start = jnp.tile(jnp.array([-0.9, -0.9, 0.0, 0.0]), (8, 1))
+    goal = jnp.tile(jnp.array([0.9, 0.9, 0.0, 0.0]), (8, 1))
+    xs, info = mpc_rollout(task.collision_residuals, start, goal, mpc_params,
+                           n_steps=40)
+    assert xs.shape == (8, 40, 4)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+    # receding horizon should make progress toward the goal
+    assert float(info["dist_to_goal"][-1].mean()) < float(
+        info["dist_to_goal"][0].mean())
+
+
+def test_mpc_rollout_sharded_runs(setup):
+    task, params = setup
+    mesh = make_mesh()
+    mpc_params = MPCParams(gpmp2=params, iters_per_step=1)
+    start = shard_batch(jnp.tile(jnp.array([-0.9, -0.9, 0.0, 0.0]), (16, 1)),
+                        mesh)
+    goal = shard_batch(jnp.tile(jnp.array([0.9, 0.9, 0.0, 0.0]), (16, 1)),
+                       mesh)
+    xs, frac = mpc_rollout_sharded(task.collision_residuals, start, goal,
+                                   mpc_params, 10, mesh)
+    assert xs.shape == (16, 10, 4)
+    assert jnp.isfinite(frac)

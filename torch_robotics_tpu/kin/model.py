@@ -51,6 +51,26 @@ _JOINT_CODES = {
 _BIG = 1e9
 
 
+def _np_rpy_to_rotation_matrix(rpy: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) Rz(yaw) @ Ry(pitch) @ Rx(roll) — avoids eager device
+    dispatch during model compilation (slow on remote-compile backends)."""
+    r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    R = np.empty(rpy.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = cy * cp
+    R[..., 0, 1] = cy * sp * sr - sy * cr
+    R[..., 0, 2] = cy * sp * cr + sy * sr
+    R[..., 1, 0] = sy * cp
+    R[..., 1, 1] = sy * sp * sr + cy * cr
+    R[..., 1, 2] = sy * sp * cr - cy * sr
+    R[..., 2, 0] = -sp
+    R[..., 2, 1] = cp * sr
+    R[..., 2, 2] = cp * cr
+    return R
+
+
 @_pytree_dataclass
 class KinematicModel:
     """Static-array robot model.  All per-link arrays are in URDF file order."""
@@ -152,8 +172,7 @@ class KinematicModel:
             if p == i:
                 raise ValueError(f"link {link_names[i]} is its own parent")
 
-        fixed_rot = np.asarray(rpy_to_rotation_matrix(jnp.asarray(rpy)),
-                               np.float64)
+        fixed_rot = _np_rpy_to_rotation_matrix(rpy)
         return cls(
             joint_trans=jnp.asarray(trans, dtype),
             joint_fixed_rot=jnp.asarray(fixed_rot, dtype),

@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, mpc_rollout_sharded, multihost_init, replicate,
+                   shard_batch, solve_sharded)

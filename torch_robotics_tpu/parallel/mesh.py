@@ -1,0 +1,100 @@
+"""Device mesh + sharding helpers for multi-chip / multi-host scaling.
+
+The reference has no distributed machinery at all (SURVEY.md §2); this module
+is the greenfield TPU-native scaling layer: a named ``Mesh`` over the
+scenario/sample batch axis, ``NamedSharding`` placement for problem batches
+(env SDF grids and robot models are replicated — they are broadcast
+constants inside jit), and ``shard_map``-wrapped solvers whose only
+cross-device communication is an optional ``psum`` reduction for global
+convergence statistics over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "multihost_init",
+           "solve_sharded", "mpc_rollout_sharded"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch",
+              devices=None) -> Mesh:
+    """1-D mesh over the scenario batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def multihost_init(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None):
+    """Initialize multi-host JAX over DCN (no-op if single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "batch"):
+    """Place an array with its leading axis sharded over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def solve_sharded(residual_fn, theta0, start_state, goal_state, params,
+                  mesh: Mesh, axis_name: str = "batch"):
+    """GPMP2 solve with the problem batch sharded over the mesh.
+
+    theta0: (B, H, 2d) with B divisible by the mesh size; start/goal either
+    shared (2d,) or per-problem (B, 2d).  Returns the optimized trajectories
+    (same sharding) plus the global mean final cost (psum over ICI).
+    """
+    from ..solve.gpmp2 import gpmp2_solve
+
+    per_problem_endpoints = start_state.ndim > 1
+    in_specs = (P(axis_name),
+                P(axis_name) if per_problem_endpoints else P(),
+                P(axis_name) if per_problem_endpoints else P())
+    out_specs = (P(axis_name), P())
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs)
+    def _solve(theta0_l, start_l, goal_l):
+        res = gpmp2_solve(residual_fn, theta0_l, start_l, goal_l, params)
+        local_sum = jnp.sum(res.costs)
+        local_n = jnp.asarray(res.costs.size, res.costs.dtype)
+        global_mean = (jax.lax.psum(local_sum, axis_name)
+                       / jax.lax.psum(local_n, axis_name))
+        return res.trajs, global_mean[None]
+
+    trajs, global_mean = _solve(theta0, start_state, goal_state)
+    return trajs, global_mean[0]
+
+
+def mpc_rollout_sharded(residual_fn, start_state, goal_state, params, n_steps,
+                        mesh: Mesh, axis_name: str = "batch"):
+    """Receding-horizon MPC with scenario batch sharded over the mesh."""
+    from ..solve.mpc import mpc_rollout
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(axis_name)),
+             out_specs=(P(axis_name), P()))
+    def _run(start_l, goal_l):
+        xs, info = mpc_rollout(residual_fn, start_l, goal_l, params, n_steps)
+        goal_frac = jnp.mean((info["dist_to_goal"][-1] < 0.1).astype(jnp.float32))
+        global_frac = jax.lax.pmean(goal_frac, axis_name)
+        return xs, global_frac[None]
+
+    xs, frac = _run(start_state, goal_state)
+    return xs, frac[0]

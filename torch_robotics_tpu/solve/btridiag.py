@@ -46,7 +46,9 @@ def block_tridiag_cholesky(D, U):
     batch = D.shape[:-3]
 
     def per_batch(D_b, U_b):
-        S0_b = jnp.zeros((m, m), D.dtype)
+        # derive the initial carry from the operand so shard_map's
+        # varying-axis tracking is satisfied
+        S0_b = jnp.zeros_like(D_b[0])
         _, (L_diag, L_off_full) = jax.lax.scan(scan_step, S0_b, (D_b, U_b))
         return L_diag, L_off_full
 
@@ -74,7 +76,7 @@ def block_tridiag_solve_factored(L_diag, L_off, b):
             y_t = solve_triangular(Ld_t, rhs, lower=True)
             return y_t, y_t
 
-        y0 = jnp.zeros((m,), b_b.dtype)
+        y0 = jnp.zeros_like(b_b[0])
         _, y = jax.lax.scan(fwd, y0, (Ld, Lo_pad, b_b))
 
         # backward: L^T x = y
@@ -88,7 +90,7 @@ def block_tridiag_solve_factored(L_diag, L_off, b):
                                    lower=False)
             return x_t, x_t
 
-        x0 = jnp.zeros((m,), b_b.dtype)
+        x0 = jnp.zeros_like(b_b[0])
         _, x_rev = jax.lax.scan(bwd, x0, (Ld[::-1], Lo_next[::-1], y[::-1]))
         return x_rev[::-1]
 

@@ -1,0 +1,83 @@
+"""Batched CHOMP: covariant gradient descent on trajectories.
+
+The CHOMP optimizer the reference environments ship hyperparameters for
+(``get_chomp_params``, e.g.
+/root/reference/torch_robotics/environments/env_dense_2d.py:123-141):
+functional gradient of (prior-weighted GP smoothness energy + obstacle cost),
+preconditioned by the smoothness metric (the same block-tridiagonal GP prior
+Hessian used in GPMP2), with gradient clipping; fixed-iteration lax.scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .btridiag import block_tridiag_solve
+from .gp_prior import gp_prior_terms
+
+__all__ = ["CHOMPParams", "CHOMPResult", "chomp_solve"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CHOMPParams:
+    n_support_points: int = 64
+    dt: float = 0.04
+    opt_iters: int = 100
+    weight_prior_cost: float = 1e-4
+    step_size: float = 0.05
+    grad_clip: float = 0.05
+    sigma_start: float = 1e-3
+    sigma_gp: float = 1e-1
+    sigma_goal: float = 1e-3
+    sigma_coll: float = 1e-2
+
+    @classmethod
+    def from_preset(cls, preset: dict) -> "CHOMPParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in preset.items() if k in known}
+        kwargs = {k: (int(v) if k in ("n_support_points", "opt_iters") else v)
+                  for k, v in kwargs.items()}
+        return cls(**kwargs)
+
+
+class CHOMPResult(NamedTuple):
+    trajs: jnp.ndarray
+    cost_trace: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("residual_fn", "params"))
+def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
+                params: CHOMPParams) -> CHOMPResult:
+    """theta0: (..., H, 2d) initial trajectories."""
+    m = theta0.shape[-1]
+    d = m // 2
+    lam = 1.0 / (params.sigma_coll ** 2)
+
+    def obstacle_cost(theta):
+        q = theta[..., :d]
+        q_flat = q.reshape((-1, d))
+        r = jax.vmap(residual_fn)(q_flat)
+        return 0.5 * lam * jnp.sum(jnp.square(r))
+
+    def step(theta, _):
+        # functional gradient: prior-weighted smoothness + obstacle
+        g_gp, D, U = gp_prior_terms(
+            theta, start_state, goal_state, params.dt, params.sigma_start,
+            params.sigma_gp, params.sigma_goal)
+        g_obs = jax.grad(obstacle_cost)(theta)
+        g = params.weight_prior_cost * g_gp + g_obs
+        g = jnp.clip(g, -params.grad_clip, params.grad_clip)
+        # precondition by the smoothness metric (block-tridiagonal solve)
+        delta = block_tridiag_solve(
+            D + 1e-6 * jnp.eye(m, dtype=theta.dtype), U, g)
+        theta = theta - params.step_size * delta
+        cost = obstacle_cost(theta)
+        return theta, cost
+
+    theta, cost_trace = jax.lax.scan(step, theta0, None,
+                                     length=params.opt_iters)
+    return CHOMPResult(trajs=theta, cost_trace=cost_trace)

@@ -1,0 +1,137 @@
+"""RRT-Connect: sampling-based planner with device-batched collision checks.
+
+The reference ships per-env presets for RRT-Connect
+(``get_rrt_connect_params``, e.g.
+/root/reference/torch_robotics/environments/env_dense_2d.py:78-91) but the
+planner itself lives in a sibling repo.  This implementation keeps the tree
+bookkeeping on the host (data-dependent control flow) while every collision
+query — pre-sampling, segment checks — is a batched jitted device call
+through the PlanningTask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RRTConnectParams", "rrt_connect"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RRTConnectParams:
+    n_iters: int = 10000
+    step_size: float = 0.01
+    n_radius: float = 0.3
+    n_pre_samples: int = 50000
+    max_time: float = 60.0
+    n_collision_points_per_segment: int = 16
+
+    @classmethod
+    def from_preset(cls, preset: dict) -> "RRTConnectParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in preset.items() if k in known}
+        kwargs["n_iters"] = int(kwargs.get("n_iters", 10000))
+        kwargs["n_pre_samples"] = int(kwargs.get("n_pre_samples", 50000))
+        return cls(**kwargs)
+
+
+def _segment_free(task, a, b, n_points):
+    """Collision-check n_points along [a, b] in one device call."""
+    w = np.linspace(0.0, 1.0, n_points)[:, None]
+    pts = a[None] * (1 - w) + b[None] * w
+    coll = np.asarray(task.compute_collision(jnp.asarray(pts, jnp.float32)))
+    return not bool(coll.any())
+
+
+def rrt_connect(task, start_q, goal_q,
+                params: Optional[RRTConnectParams] = None,
+                key=None):
+    """Plan a collision-free path from start_q to goal_q.
+
+    Returns an (N, d) numpy path (including endpoints) or None on failure.
+    """
+    if params is None:
+        params = RRTConnectParams()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    start = np.asarray(start_q, np.float32).reshape(-1)
+    goal = np.asarray(goal_q, np.float32).reshape(-1)
+    d = start.shape[0]
+
+    # pre-sample collision-free configurations in one device sweep
+    samples, n_valid = task.random_coll_free_q(
+        key, n_samples=min(params.n_pre_samples, 8192),
+        max_samples=params.n_pre_samples)
+    samples = np.asarray(samples)[: int(n_valid)].reshape(-1, d)
+    if len(samples) == 0:
+        return None
+
+    # two trees: (nodes, parents); tree A roots at start, tree B at goal
+    trees = [{"nodes": [start], "parents": [-1]},
+             {"nodes": [goal], "parents": [-1]}]
+
+    def nearest(tree, q):
+        nodes = np.asarray(tree["nodes"])
+        i = int(np.argmin(np.linalg.norm(nodes - q, axis=-1)))
+        return i, nodes[i]
+
+    def steer(q_near, q_target):
+        delta = q_target - q_near
+        dist = float(np.linalg.norm(delta))
+        if dist <= params.n_radius:
+            return q_target
+        return q_near + delta / dist * params.n_radius
+
+    def extend(tree, q_target):
+        """Returns ('reached'|'advanced'|'trapped', new node index)."""
+        i_near, q_near = nearest(tree, q_target)
+        q_new = steer(q_near, q_target)
+        if not _segment_free(task, q_near, q_new,
+                             params.n_collision_points_per_segment):
+            return "trapped", -1
+        tree["nodes"].append(q_new)
+        tree["parents"].append(i_near)
+        status = ("reached"
+                  if np.linalg.norm(q_new - q_target) < 1e-6 else "advanced")
+        return status, len(tree["nodes"]) - 1
+
+    def connect(tree, q_target):
+        status = "advanced"
+        idx = -1
+        while status == "advanced":
+            status, idx = extend(tree, q_target)
+        return status, idx
+
+    def path_to_root(tree, idx):
+        path = []
+        while idx >= 0:
+            path.append(tree["nodes"][idx])
+            idx = tree["parents"][idx]
+        return path[::-1]
+
+    rng = np.random.RandomState(0)
+    t_start = time.time()
+    a, b = 0, 1
+    for it in range(params.n_iters):
+        if time.time() - t_start > params.max_time:
+            break
+        q_rand = samples[rng.randint(len(samples))]
+        status_a, idx_a = extend(trees[a], q_rand)
+        if status_a != "trapped":
+            q_new = trees[a]["nodes"][idx_a]
+            status_b, idx_b = connect(trees[b], q_new)
+            if status_b == "reached":
+                path_a = path_to_root(trees[a], idx_a)
+                path_b = path_to_root(trees[b], idx_b)
+                if a == 0:
+                    path = path_a + path_b[::-1]
+                else:
+                    path = path_b + path_a[::-1]
+                return np.asarray(path)
+        a, b = b, a
+    return None

@@ -1,0 +1,111 @@
+"""Sampling-based trajectory optimizers: MPPI-style stochastic GPMP (S-GPMP).
+
+Implements the stochastic planner the reference ships presets for
+(``get_sgpmp_params``, /root/reference/torch_robotics/environments/
+env_grid_circles_2d.py:64-85): per iteration, sample K smooth perturbations
+from the GP prior around the current mean trajectory, score them by
+(collision + GP-prior) energy, and update the mean with exponentially
+weighted averaging at the configured temperature.  Everything is a
+fixed-iteration lax.scan, batched over independent problems.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gp_prior import gp_Q_inv, gp_transition
+
+__all__ = ["SGPMPParams", "SGPMPResult", "sgpmp_solve"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SGPMPParams:
+    n_support_points: int = 64
+    dt: float = 0.04
+    opt_iters: int = 100
+    num_samples: int = 64
+    sigma_start: float = 1e-5
+    sigma_gp: float = 1e-2
+    sigma_goal_prior: float = 1e-5
+    sigma_coll: float = 1e-5
+    temperature: float = 1.0
+    sigma_gp_sample: float = 0.2
+    step_size: float = 0.5
+
+    @classmethod
+    def from_preset(cls, preset: dict) -> "SGPMPParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in preset.items() if k in known}
+        kwargs = {k: (int(v) if k in ("n_support_points", "opt_iters",
+                                      "num_samples") else v)
+                  for k, v in kwargs.items()}
+        return cls(**kwargs)
+
+
+class SGPMPResult(NamedTuple):
+    trajs: jnp.ndarray          # (..., H, 2d) final mean trajectories
+    cost_trace: jnp.ndarray     # (opt_iters, ...) mean-trajectory costs
+
+
+def _gp_energy(theta, start_state, goal_state, params):
+    d = theta.shape[-1] // 2
+    Phi = gp_transition(d, params.dt, theta.dtype)
+    Qi = gp_Q_inv(d, params.dt, params.sigma_gp, theta.dtype)
+    e = theta[..., 1:, :] - jnp.einsum("ij,...j->...i", Phi, theta[..., :-1, :])
+    E = 0.5 * jnp.einsum("...ti,ij,...tj->...", e, Qi, e)
+    E = E + 0.5 / params.sigma_start ** 2 * jnp.sum(
+        jnp.square(theta[..., 0, :] - start_state), axis=-1)
+    E = E + 0.5 / params.sigma_goal_prior ** 2 * jnp.sum(
+        jnp.square(theta[..., -1, :] - goal_state), axis=-1)
+    return E
+
+
+def _bridge_noise(key, shape, dt, sigma):
+    """Smooth endpoint-pinned perturbations: Brownian bridge in position with
+    matched velocities.  shape = (..., H, 2d)."""
+    H, m = shape[-2], shape[-1]
+    d = m // 2
+    dw = jax.random.normal(key, shape[:-1] + (d,))
+    w = jnp.cumsum(dw, axis=-2) * jnp.sqrt(dt) * sigma
+    t_frac = jnp.linspace(0.0, 1.0, H)[:, None]
+    bridge = w - t_frac * w[..., -1:, :]
+    vel = jnp.gradient(bridge, axis=-2) / dt
+    return jnp.concatenate([bridge, vel], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("residual_fn", "params"))
+def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
+                params: SGPMPParams, key=None) -> SGPMPResult:
+    """theta0: (..., H, 2d) initial mean trajectories."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    m = theta0.shape[-1]
+    d = m // 2
+    lam = 1.0 / (params.sigma_coll ** 2)
+    K = params.num_samples
+
+    def total_cost(theta):
+        q_flat = theta[..., :d].reshape((-1, d))
+        r = jax.vmap(residual_fn)(q_flat)
+        coll = 0.5 * lam * jnp.sum(
+            jnp.square(r).reshape(theta.shape[:-2] + (-1,)), axis=-1)
+        return coll + _gp_energy(theta, start_state, goal_state, params)
+
+    def step(carry, key_t):
+        theta = carry
+        noise = _bridge_noise(key_t, (K,) + theta.shape, params.dt,
+                              params.sigma_gp_sample)
+        cand = theta[None] + noise                 # (K, ..., H, 2d)
+        costs = total_cost(cand)                   # (K, ...)
+        w = jax.nn.softmax(-costs / params.temperature, axis=0)
+        delta = jnp.einsum("k...,k...hm->...hm", w, noise)
+        theta = theta + params.step_size * delta
+        return theta, total_cost(theta)
+
+    keys = jax.random.split(key, params.opt_iters)
+    theta, cost_trace = jax.lax.scan(step, theta0, keys)
+    return SGPMPResult(trajs=theta, cost_trace=cost_trace)
