@@ -17,6 +17,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeated bench runs skip the (slow) first
+# compile where the backend supports it
+jax.config.update("jax_compilation_cache_dir", "/tmp/trt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 B = 1024          # scenario batch per chip
 H = 64            # horizon (support points)
 N_STEPS = 8       # timed MPC steps per measurement

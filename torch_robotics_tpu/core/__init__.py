@@ -19,5 +19,7 @@ from .utils import (
     batch_cov, batch_trace, tensor_linspace, batched_weighted_dot_prod,
     finite_difference_vector,
 )
+from .pytrees import pytree_dataclass, safe_norm, static_field
+from .frame import Frame, MotionVec
 from .timer import TimerTPU
 from .random import fix_random_seed, split_like

@@ -109,6 +109,58 @@ def fk_link_positions(model: KinematicModel, q, link_idxs=None):
     return t
 
 
+def fk_with_velocities(model: KinematicModel, q, qd):
+    """FK + body-velocity propagation as one pure function.
+
+    Replaces the reference's stateful ``update_kinematic_state``
+    (robot_tree.py:136-190): velocities are expressed in each body's local
+    frame, following the reference convention — v_child = joint_twist +
+    (parent twist transformed into the child frame by the inverse joint
+    pose), with joint twist (0, qd * axis).
+
+    q, qd: (..., n_dofs) -> (R (..., L, 3, 3), t (..., L, 3),
+    lin (..., L, 3), ang (..., L, 3)).
+    """
+    R_loc, t_loc = local_joint_transforms(model, q)
+    if model.n_dofs > 0:
+        qd_link = qd[..., model.q_map] * (model.rot_mask + model.prism_mask)
+    else:
+        qd_link = jnp.zeros(q.shape[:-1] + (model.n_links,), q.dtype)
+    # joint twist in the child frame (reference: update_joint_state,
+    # rigid_body.py:253-256 — angular for revolute, linear stays zero there;
+    # we extend prismatic joints with the linear rate)
+    ang_joint = model.joint_axis * (qd_link * model.rot_mask)[..., None]
+    lin_joint = model.joint_axis * (qd_link * model.prism_mask)[..., None]
+
+    topo = model.topological_order()
+    R_world = [None] * model.n_links
+    t_world = [None] * model.n_links
+    lin = [None] * model.n_links
+    ang = [None] * model.n_links
+    for i in topo:
+        p = model.parent_idx[i]
+        Ri = R_loc[..., i, :, :]
+        ti = t_loc[..., i, :]
+        if p < 0:
+            R_world[i], t_world[i] = Ri, ti
+            lin[i] = jnp.zeros_like(ti)
+            ang[i] = jnp.zeros_like(ti)
+            continue
+        R_world[i] = jnp.matmul(R_world[p], Ri, precision=_PREC)
+        t_world[i] = jnp.matmul(R_world[p], ti[..., None],
+                                precision=_PREC)[..., 0] + t_world[p]
+        # parent twist into child frame via the inverse joint pose
+        R_inv = jnp.swapaxes(Ri, -1, -2)
+        t_inv = -jnp.matmul(R_inv, ti[..., None], precision=_PREC)[..., 0]
+        ang_p = jnp.matmul(R_inv, ang[p][..., None], precision=_PREC)[..., 0]
+        lin_p = (jnp.cross(t_inv, ang_p)
+                 + jnp.matmul(R_inv, lin[p][..., None], precision=_PREC)[..., 0])
+        ang[i] = ang_joint[..., i, :] + ang_p
+        lin[i] = lin_joint[..., i, :] + lin_p
+    return (jnp.stack(R_world, axis=-3), jnp.stack(t_world, axis=-2),
+            jnp.stack(lin, axis=-2), jnp.stack(ang, axis=-2))
+
+
 def geometric_jacobian(model: KinematicModel, q, link_name: str):
     """Geometric Jacobian of one link frame.
 

@@ -29,7 +29,16 @@ def block_tridiag_cholesky(D, U):
     Cholesky factors of the running Schur complements, L_off (..., H-1, m, m))
     with A = L L^T where L is block-bidiagonal (L_diag on the diagonal,
     L_off below).
+
+    All matmuls trace at float32 precision — the TPU MXU's default bf16
+    inputs destroy the factorization of the ill-conditioned GN systems
+    (prior precisions up to 1e10).
     """
+    with jax.default_matmul_precision("float32"):
+        return _block_tridiag_cholesky_impl(D, U)
+
+
+def _block_tridiag_cholesky_impl(D, U):
     H = D.shape[-3]
     m = D.shape[-1]
 
@@ -63,6 +72,11 @@ def block_tridiag_cholesky(D, U):
 def block_tridiag_solve_factored(L_diag, L_off, b):
     """Solve A x = b given the blocked factorization from
     ``block_tridiag_cholesky``.  b: (..., H, m) -> x: (..., H, m)."""
+    with jax.default_matmul_precision("float32"):
+        return _block_tridiag_solve_factored_impl(L_diag, L_off, b)
+
+
+def _block_tridiag_solve_factored_impl(L_diag, L_off, b):
     H, m = b.shape[-2], b.shape[-1]
     batch = b.shape[:-2]
     L_off_pad = jnp.concatenate(
@@ -104,8 +118,14 @@ def block_tridiag_solve_factored(L_diag, L_off, b):
 def block_tridiag_solve(D, U, b):
     """Solve the block-tridiagonal SPD system A x = b.
 
-    D: (..., H, m, m); U: (..., H-1, m, m); b: (..., H, m).
+    D: (..., H, m, m); U: (..., H-1, m, m); b: (..., H, m).  Leading batch
+    dims broadcast (e.g. an unbatched prior Hessian against batched rhs).
     """
+    H, m = b.shape[-2], b.shape[-1]
+    batch = jnp.broadcast_shapes(D.shape[:-3], U.shape[:-3], b.shape[:-2])
+    D = jnp.broadcast_to(D, batch + (H, m, m))
+    U = jnp.broadcast_to(U, batch + (H - 1, m, m))
+    b = jnp.broadcast_to(b, batch + (H, m))
     L_diag, L_off = block_tridiag_cholesky(D, U)
     return block_tridiag_solve_factored(L_diag, L_off, b)
 

@@ -41,14 +41,43 @@ def gp_Q_inv(d: int, dt: float, sigma_gp: float, dtype=jnp.float32):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def gp_prior_blocks(d: int, H: int, dt: float, sigma_start: float,
+                    sigma_gp: float, sigma_goal: float, dtype=jnp.float32):
+    """Static block-tridiagonal Hessian of the GP factor graph.
+
+    The prior Hessian does not depend on the trajectory; returns
+    (D (H, m, m), U (H-1, m, m)).  Built by concatenation — scatter ops
+    compile pathologically slowly on some TPU toolchains.
+    """
+    m = 2 * d
+    Phi = gp_transition(d, dt, dtype)
+    Qi = gp_Q_inv(d, dt, sigma_gp, dtype)
+    PhiT_Qi = Phi.T @ Qi
+    PhiT_Qi_Phi = PhiT_Qi @ Phi
+    eye_m = jnp.eye(m, dtype=dtype)
+    ks = 1.0 / (sigma_start ** 2)
+    kg = 1.0 / (sigma_goal ** 2)
+
+    first = PhiT_Qi_Phi + ks * eye_m
+    mid = PhiT_Qi_Phi + Qi
+    last = Qi + kg * eye_m
+    D = jnp.concatenate([first[None],
+                         jnp.broadcast_to(mid, (H - 2, m, m)),
+                         last[None]], axis=0)
+    U = jnp.broadcast_to(-PhiT_Qi, (H - 1, m, m))
+    return D, U
+
+
 def gp_prior_terms(theta, start_state, goal_state, dt, sigma_start, sigma_gp,
                    sigma_goal):
     """Gradient and block-tridiagonal Hessian blocks of the GP factor graph.
 
     theta: (..., H, 2d) trajectory states.
-    Returns (g (..., H, 2d), D (..., H, 2d, 2d), U (..., H-1, 2d, 2d)) for the
-    quadratic form 0.5 ||x_0 - start||^2_Ks + 0.5 sum ||x_{t+1} - Phi x_t||^2_Q
+    Returns (g (..., H, 2d), D (H, 2d, 2d), U (H-1, 2d, 2d)) for the quadratic
+    form 0.5 ||x_0 - start||^2_Ks + 0.5 sum ||x_{t+1} - Phi x_t||^2_Q
     + 0.5 ||x_{H-1} - goal||^2_Kg, i.e. g = A theta - b_prior and (D, U) = A.
+    D/U carry no batch dims (the Hessian is state-independent) — broadcast
+    against per-problem terms as needed.
     """
     H = theta.shape[-2]
     m = theta.shape[-1]
@@ -57,33 +86,23 @@ def gp_prior_terms(theta, start_state, goal_state, dt, sigma_start, sigma_gp,
     Phi = gp_transition(d, dt, dtype)
     Qi = gp_Q_inv(d, dt, sigma_gp, dtype)
     PhiT_Qi = Phi.T @ Qi
-    PhiT_Qi_Phi = PhiT_Qi @ Phi
 
     # GP factor residuals e_t = x_{t+1} - Phi x_t, t = 0..H-2
-    x_t = theta[..., :-1, :]
-    x_t1 = theta[..., 1:, :]
-    e = x_t1 - jnp.einsum("ij,...j->...i", Phi, x_t)
+    e = theta[..., 1:, :] - jnp.einsum("ij,...j->...i", Phi, theta[..., :-1, :])
     Qi_e = jnp.einsum("ij,...j->...i", Qi, e)
+    neg_PhiT_Qi_e = -jnp.einsum("ij,...j->...i", Phi.T, Qi_e)
 
-    g = jnp.zeros_like(theta)
-    g = g.at[..., :-1, :].add(-jnp.einsum("ij,...j->...i", Phi.T, Qi_e))
-    g = g.at[..., 1:, :].add(Qi_e)
+    zeros1 = jnp.zeros_like(theta[..., :1, :])
+    g = (jnp.concatenate([neg_PhiT_Qi_e, zeros1], axis=-2)
+         + jnp.concatenate([zeros1, Qi_e], axis=-2))
 
-    # priors
     ks = 1.0 / (sigma_start ** 2)
     kg = 1.0 / (sigma_goal ** 2)
-    g = g.at[..., 0, :].add(ks * (theta[..., 0, :] - start_state))
-    g = g.at[..., H - 1, :].add(kg * (theta[..., H - 1, :] - goal_state))
+    g0 = g[..., :1, :] + ks * (theta[..., :1, :] - start_state[..., None, :])
+    gH = g[..., -1:, :] + kg * (theta[..., -1:, :] - goal_state[..., None, :])
+    g = jnp.concatenate([g0, g[..., 1:-1, :], gH], axis=-2)
 
-    # Hessian blocks
-    eye_m = jnp.eye(m, dtype=dtype)
-    D = jnp.zeros(theta.shape[:-1] + (m, m), dtype)
-    D = D.at[..., :-1, :, :].add(PhiT_Qi_Phi)
-    D = D.at[..., 1:, :, :].add(Qi)
-    D = D.at[..., 0, :, :].add(ks * eye_m)
-    D = D.at[..., H - 1, :, :].add(kg * eye_m)
-    U = jnp.broadcast_to(-PhiT_Qi,
-                         theta.shape[:-2] + (H - 1, m, m))
+    D, U = gp_prior_blocks(d, H, dt, sigma_start, sigma_gp, sigma_goal, dtype)
     return g, D, U
 
 

@@ -86,10 +86,15 @@ def _obstacle_terms(residual_fn, q, d_state, lam):
     J = J_flat.reshape(q.shape[:-1] + J_flat.shape[-2:])
     g_q = lam * jnp.einsum("...pi,...p->...i", J, r)
     H_qq = lam * jnp.einsum("...pi,...pj->...ij", J, J)
-    d = q.shape[-1]
     m = d_state
-    g = jnp.zeros(q.shape[:-1] + (m,), q.dtype).at[..., :d].set(g_q)
-    Hb = jnp.zeros(q.shape[:-1] + (m, m), q.dtype).at[..., :d, :d].set(H_qq)
+    # embed into the position part of the state by concatenation (scatter ops
+    # compile pathologically slowly on some TPU toolchains)
+    g = jnp.concatenate(
+        [g_q, jnp.zeros(q.shape[:-1] + (m - d,), q.dtype)], axis=-1)
+    top = jnp.concatenate(
+        [H_qq, jnp.zeros(q.shape[:-1] + (d, m - d), q.dtype)], axis=-1)
+    bottom = jnp.zeros(q.shape[:-1] + (m - d, m), q.dtype)
+    Hb = jnp.concatenate([top, bottom], axis=-2)
     cost = 0.5 * lam * jnp.sum(jnp.square(r), axis=-1)
     return g, Hb, cost
 
@@ -100,7 +105,16 @@ def gpmp2_step(residual_fn: Callable, theta, start_state, goal_state,
 
     theta: (..., H, 2d); residual_fn: q (..., d) -> (..., P) hinge residuals.
     Returns (theta_next, scalar collision cost per trajectory).
+    Traces at float32 matmul precision (ill-conditioned GN systems NaN under
+    the TPU's default bf16 matmul inputs).
     """
+    with jax.default_matmul_precision("float32"):
+        return _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
+                                params)
+
+
+def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
+                     params: GPMP2Params):
     m = theta.shape[-1]
     d = m // 2
     g_gp, D, U = gp_prior_terms(
