@@ -192,6 +192,37 @@ def geometric_jacobian(model: KinematicModel, q, link_name: str):
     return (jnp.swapaxes(lin, -1, -2), jnp.swapaxes(ang, -1, -2))
 
 
+def point_jacobians(model: KinematicModel, R, t, points, point_link_idx):
+    """Analytic position Jacobians of points rigidly attached to links.
+
+    For a point p attached to link l, column j of its Jacobian is
+    z_j x (p - t_j) for revolute ancestors j of l (z_j for prismatic), else 0
+    — the classic geometric Jacobian formula, evaluated for all points at
+    once from one FK pass (this replaces autodiff through the FK chain in the
+    Gauss-Newton obstacle terms; ~5x cheaper).
+
+    R, t: fk_rot_trans output (..., L, 3, 3)/(..., L, 3);
+    points: (..., P, 3) world points; point_link_idx: (P,) owning link ids.
+    Returns J: (..., P, 3, n_dofs).
+    """
+    import numpy as np
+    ctrl = np.asarray(list(model.controlled_link_idxs()), np.int32)
+    R_j = R[..., ctrl, :, :]
+    t_j = t[..., ctrl, :]
+    axis_j = model.joint_axis[ctrl]
+    z_j = jnp.matmul(R_j, axis_j[..., None], precision=_PREC)[..., 0]
+    # ancestry of each point's link w.r.t. each controlled joint
+    A = model.ancestry_matrix()[np.asarray(point_link_idx)]     # (P, n_dofs)
+    mask = jnp.asarray(A, points.dtype)
+    prism = model.prism_mask[ctrl]
+
+    diff = points[..., :, None, :] - t_j[..., None, :, :]       # (..., P, J, 3)
+    lin_rev = jnp.cross(z_j[..., None, :, :], diff)
+    lin = jnp.where(prism[..., None] > 0, z_j[..., None, :, :], lin_rev)
+    J = lin * mask[..., None]                                    # (..., P, J, 3)
+    return jnp.swapaxes(J, -1, -2)                               # (..., P, 3, J)
+
+
 def analytical_jacobian(model: KinematicModel, q, link_list=None):
     """Jacobian of stacked [pos(3), quat(4)] per link via forward-mode AD.
 

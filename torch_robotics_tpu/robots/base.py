@@ -131,6 +131,31 @@ class RobotAPI:
         """q: (..., q_dim) -> all collision-relevant points (..., P, ws_dim)."""
         raise NotImplementedError
 
+    def fk_map_collision_with_jac(self, q):
+        """q: (..., q_dim) -> (points (..., P, ws_dim),
+        J (..., P, ws_dim, q_dim)) analytic point Jacobians.
+
+        Optional fast path for Gauss-Newton solvers; robots without it fall
+        back to autodiff through ``fk_map_collision``.
+        """
+        raise NotImplementedError
+
+    def select_collision_jacobians(self, J_full, idxs, interpolate=False,
+                                   num_interp=0):
+        """Apply the same selection/interpolation as the point selectors to a
+        stack of per-point Jacobians (interpolation is linear, so Jacobians
+        interpolate identically)."""
+        J = J_full[..., np.asarray(idxs), :, :]
+        if interpolate:
+            P, dim, d = J.shape[-3:]
+            J_flat = J.reshape(J.shape[:-2] + (dim * d,))
+            J_flat = interpolate_points(J_flat, num_interp)
+            J = J_flat.reshape(J_flat.shape[:-1] + (dim, d))
+        if self.grasped_n_points > 0:
+            J = jnp.concatenate(
+                [J, J_full[..., -self.grasped_n_points:, :, :]], axis=-3)
+        return J
+
     def object_collision_points(self, link_pos):
         """Select/interpolate the object-collision points from fk output."""
         pts = link_pos[..., np.asarray(self.object_coll_idxs), :]

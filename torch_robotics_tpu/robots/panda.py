@@ -127,6 +127,24 @@ class RobotPanda(RobotAPI):
                + t_g[..., None, :])
         return jnp.concatenate([t, pts], axis=-2)
 
+    def fk_map_collision_with_jac(self, q):
+        """Analytic point Jacobians for all collision points from one FK pass
+        (points (..., P, 3), J (..., P, 3, 7))."""
+        from ..kin.fk import point_jacobians
+        R, t = fk_rot_trans(self.model, q)
+        point_link_idx = list(range(self.model.n_links))
+        pts = t
+        if self.grasped_n_points > 0:
+            gi = self.model.link_index(self.link_name_grasped_object)
+            R_g = R[..., gi, :, :]
+            t_g = t[..., gi, :]
+            pts_g = (jnp.einsum("...ij,gj->...gi", R_g, self.grasped_points)
+                     + t_g[..., None, :])
+            pts = jnp.concatenate([t, pts_g], axis=-2)
+            point_link_idx = point_link_idx + [gi] * self.grasped_n_points
+        J = point_jacobians(self.model, R, t, pts, point_link_idx)
+        return pts, J
+
     # ------------------------------------------------------------------
     # EE pose accessors (robot_panda.py:172-184)
     # ------------------------------------------------------------------

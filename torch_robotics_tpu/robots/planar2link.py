@@ -63,3 +63,17 @@ class RobotPlanar2Link(RobotAPI):
         """q: (..., 2) -> (..., 3, 2) link points on a dedicated axis."""
         p0, p1, p2 = self.link_positions(q)
         return jnp.stack([p0, p1, p2], axis=-2)
+
+    def fk_map_collision_with_jac(self, q):
+        """Closed-form point Jacobians of the 3 link points: (..., 3, 2, 2)."""
+        pts = self.fk_map_collision(q)
+        s1 = jnp.sin(q[..., 0]) * self.l1
+        c1 = jnp.cos(q[..., 0]) * self.l1
+        s12 = jnp.sin(q[..., 0] + q[..., 1]) * self.l2
+        c12 = jnp.cos(q[..., 0] + q[..., 1]) * self.l2
+        zero = jnp.zeros_like(s1)
+        J0 = jnp.stack([zero, zero, zero, zero], axis=-1)
+        J1 = jnp.stack([-s1, zero, c1, zero], axis=-1)
+        J2 = jnp.stack([-s1 - s12, -s12, c1 + c12, c12], axis=-1)
+        J = jnp.stack([J0, J1, J2], axis=-2)
+        return pts, J.reshape(J.shape[:-1] + (2, 2))

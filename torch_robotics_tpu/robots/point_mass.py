@@ -39,6 +39,12 @@ class RobotPointMass(RobotAPI):
         (robot_point_mass.py:29-32)."""
         return q[..., None, :]
 
+    def fk_map_collision_with_jac(self, q):
+        d = self.q_dim
+        J = jnp.broadcast_to(jnp.eye(d, dtype=q.dtype),
+                             q.shape[:-1] + (1, d, d))
+        return q[..., None, :], J
+
 
 def RobotPointMass3D(margin=0.01, dt=1.0, dtype=jnp.float32):
     return RobotPointMass.create(

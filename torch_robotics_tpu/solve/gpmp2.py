@@ -77,11 +77,17 @@ def gpmp2_init_trajs(key, params: GPMP2Params, start_state, goal_state,
 def _obstacle_terms(residual_fn, q, d_state, lam):
     """Hinge-residual GN terms: gradient (..., m) and Hessian blocks
     (..., m, m) embedded in the position part of the state.
-    residual_fn: (d,) -> (P,) per-waypoint residuals."""
+    residual_fn: (d,) -> (P,) per-waypoint residuals.  If the function
+    carries a ``residuals_and_jacobian`` attribute (PlanningTask's analytic
+    fast path), it is used instead of jacfwd through the FK chain."""
     d = q.shape[-1]
     q_flat = q.reshape((-1, d))
-    r_flat = jax.vmap(residual_fn)(q_flat)
-    J_flat = jax.vmap(jax.jacfwd(residual_fn))(q_flat)
+    raj = getattr(residual_fn, "residuals_and_jacobian", None)
+    if raj is not None:
+        r_flat, J_flat = jax.vmap(raj)(q_flat)
+    else:
+        r_flat = jax.vmap(residual_fn)(q_flat)
+        J_flat = jax.vmap(jax.jacfwd(residual_fn))(q_flat)
     r = r_flat.reshape(q.shape[:-1] + r_flat.shape[-1:])
     J = J_flat.reshape(q.shape[:-1] + J_flat.shape[-2:])
     g_q = lam * jnp.einsum("...pi,...p->...i", J, r)

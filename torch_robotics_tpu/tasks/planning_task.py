@@ -149,6 +149,70 @@ class PlanningTask:
                                          - safe_norm(a - b, axis=-1)))
             return jnp.concatenate(parts, axis=-1)
 
+        # fast path: analytic residual Jacobians from point Jacobians (one FK
+        # pass + cheap reverse sweeps instead of jacfwd through the FK chain)
+        try:
+            robot.fk_map_collision_with_jac(
+                jnp.zeros((robot.q_dim,), jnp.float32))
+            has_jac = True
+        except NotImplementedError:
+            has_jac = False
+
+        if has_jac:
+            from ..geom.sdf import safe_norm as _safe_norm
+
+            def point_min_sdf(p):
+                sdf = None
+                for df in df_obj_list:
+                    s = df.signed_distance(p)
+                    sdf = s if sdf is None else jnp.minimum(sdf, s)
+                return sdf
+
+            def ws_min_dist(p):
+                return jnp.min(jnp.concatenate([p - ws_min, ws_max - p]))
+
+            def residuals_and_jacobian(q):
+                """q (d,) -> (r (P,), J (P, d)); same residual ordering as
+                ``residuals``: [objects, ws-bounds, self-pairs]."""
+                pts_full, J_full = robot.fk_map_collision_with_jac(q)
+                obj_pts = robot.object_collision_points(pts_full)
+                J_obj = robot.select_collision_jacobians(
+                    J_full, robot.object_coll_idxs, robot.object_interpolate,
+                    robot.object_num_interp)
+                rs, Js = [], []
+                if df_obj_list:
+                    sdf, g_p = jax.vmap(jax.value_and_grad(point_min_sdf))(
+                        obj_pts)
+                    r = jax.nn.relu(robot.object_margins + cutoff - sdf)
+                    act = (r > 0).astype(q.dtype)
+                    rs.append(r)
+                    Js.append(-act[:, None]
+                              * jnp.einsum("pi,pij->pj", g_p, J_obj))
+                dval, g_w = jax.vmap(jax.value_and_grad(ws_min_dist))(obj_pts)
+                r_ws = jax.nn.relu(robot.object_margins + cutoff - dval)
+                act_ws = (r_ws > 0).astype(q.dtype)
+                rs.append(r_ws)
+                Js.append(-act_ws[:, None]
+                          * jnp.einsum("pi,pij->pj", g_w, J_obj))
+                if pair_idxs is not None and len(pair_idxs) > 0:
+                    self_pts = robot.self_collision_points(pts_full)
+                    J_self = robot.select_collision_jacobians(
+                        J_full, robot.self_coll_idxs)
+                    diff = (self_pts[..., pair_idxs[:, 0], :]
+                            - self_pts[..., pair_idxs[:, 1], :])
+                    dist = _safe_norm(diff, axis=-1)
+                    u = diff / jnp.maximum(dist, 1e-9)[..., None]
+                    r_s = jax.nn.relu(robot.self_margins - dist)
+                    act_s = (r_s > 0).astype(q.dtype)
+                    dJ = (J_self[..., pair_idxs[:, 0], :, :]
+                          - J_self[..., pair_idxs[:, 1], :, :])
+                    Js.append(-act_s[:, None]
+                              * jnp.einsum("ki,kij->kj", u, dJ))
+                    rs.append(r_s)
+                return jnp.concatenate(rs, axis=-1), jnp.concatenate(Js, axis=-2)
+
+            residuals.residuals_and_jacobian = residuals_and_jacobian
+
         return residuals
 
     def compute_collision_cost(self, x):
