@@ -223,9 +223,13 @@ class KinematicModel:
         return order
 
     def controlled_link_idxs(self) -> Sequence[int]:
-        """Link indices whose joints are movable, in q order."""
-        idxs = [i for i, t in enumerate(self.joint_types) if t != JOINT_FIXED]
-        return sorted(idxs, key=lambda i: int(self.q_map[i]))
+        """Link indices whose joints are movable, in q order.
+
+        q indices are assigned in URDF file order during compilation, so file
+        order IS q order (static — safe to call under jit tracing).
+        """
+        return tuple(i for i, t in enumerate(self.joint_types)
+                     if t != JOINT_FIXED)
 
     def ancestry_matrix(self) -> np.ndarray:
         """(n_links, n_dofs) bool: joint j moves link i."""

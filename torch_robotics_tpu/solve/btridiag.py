@@ -120,14 +120,55 @@ def block_tridiag_solve(D, U, b):
 
     D: (..., H, m, m); U: (..., H-1, m, m); b: (..., H, m).  Leading batch
     dims broadcast (e.g. an unbatched prior Hessian against batched rhs).
+
+    Implementation: fused blocked-Cholesky + forward substitution in ONE
+    forward lax.scan (the factorization and L y = b sweeps march together),
+    then one backward scan for L^T x = y — two sequential sweeps total, at
+    float32 matmul precision.
     """
     H, m = b.shape[-2], b.shape[-1]
     batch = jnp.broadcast_shapes(D.shape[:-3], U.shape[:-3], b.shape[:-2])
-    D = jnp.broadcast_to(D, batch + (H, m, m))
-    U = jnp.broadcast_to(U, batch + (H - 1, m, m))
-    b = jnp.broadcast_to(b, batch + (H, m))
-    L_diag, L_off = block_tridiag_cholesky(D, U)
-    return block_tridiag_solve_factored(L_diag, L_off, b)
+    D = jnp.broadcast_to(D, batch + (H, m, m)).reshape((-1, H, m, m))
+    U_pad = jnp.concatenate([U, jnp.zeros_like(U[..., :1, :, :])], axis=-3)
+    U_pad = jnp.broadcast_to(U_pad, batch + (H, m, m)).reshape((-1, H, m, m))
+    b_flat = jnp.broadcast_to(b, batch + (H, m)).reshape((-1, H, m))
+
+    with jax.default_matmul_precision("float32"):
+        x_flat = jax.vmap(_fused_solve_one)(D, U_pad, b_flat)
+    return x_flat.reshape(batch + (H, m))
+
+
+def _fused_solve_one(D, U_pad, b):
+    """Fused factorize+forward then backward, one problem: D (H, m, m),
+    U_pad (H, m, m) (last block unused), b (H, m)."""
+    m = b.shape[-1]
+
+    def fwd(carry, inp):
+        S_prev, Wy_prev = carry
+        D_t, U_t, b_t = inp
+        L_t = jnp.linalg.cholesky(D_t - S_prev)
+        # forward substitution: y_t = L_t^{-1} (b_t - W_{t-1}^T y_{t-1})
+        y_t = solve_triangular(L_t, b_t - Wy_prev, lower=True)
+        # W_t = L_t^{-1} U_t feeds both the Schur complement and the next rhs
+        W_t = solve_triangular(L_t, U_t, lower=True)
+        S_next = jnp.swapaxes(W_t, -1, -2) @ W_t
+        Wy_next = jnp.swapaxes(W_t, -1, -2) @ y_t[..., None]
+        return (S_next, Wy_next[..., 0]), (L_t, W_t, y_t)
+
+    S0 = jnp.zeros_like(D[0])
+    Wy0 = jnp.zeros_like(b[0])
+    _, (L, W, y) = jax.lax.scan(fwd, (S0, Wy0), (D, U_pad, b))
+
+    # backward: L^T x = y with x_t = L_t^{-T} (y_t - W_t x_{t+1})
+    def bwd(x_next, inp):
+        L_t, W_t, y_t = inp
+        rhs = y_t - (W_t @ x_next[..., None])[..., 0]
+        x_t = solve_triangular(jnp.swapaxes(L_t, -1, -2), rhs, lower=False)
+        return x_t, x_t
+
+    x0 = jnp.zeros_like(b[0])
+    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], W[::-1], y[::-1]))
+    return x_rev[::-1]
 
 
 def block_tridiag_logdet(L_diag):

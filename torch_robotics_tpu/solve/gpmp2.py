@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .btridiag import block_tridiag_solve
+from .btridiag_lanes import block_tridiag_solve_lanes
 from .gp_prior import gp_prior_terms, sample_gp_prior_trajs, straight_line_trajs
 
 __all__ = ["GPMP2Params", "GPMP2Result", "gpmp2_init_trajs", "gpmp2_solve",
@@ -130,7 +131,9 @@ def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
     g_obs, H_obs, cost_obs = _obstacle_terms(residual_fn, theta[..., :d], m, lam)
     g = g_gp + g_obs
     D = D + H_obs + params.solver_delta * jnp.eye(m, dtype=theta.dtype)
-    delta = block_tridiag_solve(D, U, -g)
+    # lane-vectorized solver for small state blocks (zero tile padding)
+    solver = block_tridiag_solve_lanes if m <= 32 else block_tridiag_solve
+    delta = solver(D, U, -g)
     theta_next = theta + params.step_size * delta
     return theta_next, jnp.sum(cost_obs, axis=-1)
 
