@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.envs import EnvDense2D, EnvSpheres3D
+from torch_robotics_tpu.robots import RobotPanda, RobotPointMass
+from torch_robotics_tpu.solve import GPMP2Params, gpmp2_init_trajs, gpmp2_solve
+from torch_robotics_tpu.solve.gpmp2 import _obstacle_terms
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+@pytest.mark.parametrize("make", [
+    lambda: (EnvDense2D(), RobotPointMass.create(), 0.01),
+    lambda: (EnvSpheres3D(), RobotPanda.create(), 0.03),
+])
+def test_lanes_terms_match_reference_path(make):
+    env, robot, cutoff = make()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=cutoff)
+    lanes = getattr(task.collision_residuals, "obstacle_terms_lanes", None)
+    assert lanes is not None
+    d = robot.q_dim
+    m = 2 * d
+    key = jax.random.PRNGKey(0)
+    q = robot.random_q(key, 96)                      # N = 96 waypoints
+    lam = 1.0   # terms are linear in lam; unit keeps f32 tie-noise unamplified
+
+    q_cols = q.T                                     # (d, N)
+    g_l, H_l, cost_l = lanes(q_cols, lam)
+
+    g_ref, H_ref, cost_ref = _obstacle_terms(
+        task.collision_residuals, q, m, lam)
+    np.testing.assert_allclose(jnp.moveaxis(g_l, 0, -1), g_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(jnp.moveaxis(H_l, (0, 1), (-2, -1)), H_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(cost_l, cost_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gpmp2_lanes_step_matches_generic():
+    env = EnvDense2D()
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    params = GPMP2Params(n_support_points=16, opt_iters=15, sigma_coll=1e-3,
+                         sigma_start=1e-4, sigma_goal_prior=1e-4,
+                         step_size=0.5)
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), params, start, goal,
+                              num_samples=4)
+    res_lanes = gpmp2_solve(task.collision_residuals, theta0, start, goal,
+                            params)
+
+    def residuals_plain(q, _fn=task.collision_residuals):
+        return _fn(q)
+    residuals_plain.residuals_and_jacobian = \
+        task.collision_residuals.residuals_and_jacobian
+
+    res_ref = gpmp2_solve(residuals_plain, theta0, start, goal, params)
+    np.testing.assert_allclose(res_lanes.trajs, res_ref.trajs,
+                               rtol=1e-3, atol=1e-3)

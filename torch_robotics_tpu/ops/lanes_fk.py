@@ -1,0 +1,432 @@
+"""Lane-vectorized (structure-of-arrays) FK and Gauss-Newton terms.
+
+TPU performance core.  Arrays with tiny trailing dims ((B, 3, 3) rotations,
+(B, P, 3) points) get tile-padded 24-57x on TPU; this module instead carries
+every scalar component as a (N,)-vector with the batch in the minor (lane)
+dimension.  The FK chain, point Jacobians, SDF residuals and J^T J assembly
+unroll into fused elementwise multiply-adds over (N,) lanes — zero padding,
+pure VPU — and feed the lane-layout block-tridiagonal solver without any
+transposes in between.
+
+Semantics are identical to kin.fk + tasks.planning_task residuals; tests
+assert exact equivalence.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kin.model import (JOINT_CONTINUOUS, JOINT_FIXED, JOINT_PRISMATIC,
+                         JOINT_REVOLUTE, KinematicModel)
+
+__all__ = ["fk_lanes", "point_jacobians_lanes", "sdf_lanes",
+           "obstacle_terms_lanes_factory"]
+
+Vec3 = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+Mat3 = Tuple[Vec3, Vec3, Vec3]
+
+
+def _static_q_map(model: KinematicModel) -> List[int]:
+    q_map, c = [], 0
+    for t in model.joint_types:
+        q_map.append(c if t != JOINT_FIXED else -1)
+        if t != JOINT_FIXED:
+            c += 1
+    return q_map
+
+
+def _matmul3(A: Mat3, B: Mat3) -> Mat3:
+    return tuple(
+        tuple(sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3))
+        for i in range(3))
+
+
+def _matvec3(A: Mat3, v: Vec3) -> Vec3:
+    return tuple(sum(A[i][k] * v[k] for k in range(3)) for i in range(3))
+
+
+def _scalar_mat3(M) -> Mat3:
+    """3x3 jnp array (traced scalars) -> nested tuple."""
+    return tuple(tuple(M[i, j] for j in range(3)) for i in range(3))
+
+
+def fk_lanes(model: KinematicModel, q_cols):
+    """FK with batch in lanes.
+
+    q_cols: (d, N) joint values.  Returns (R_w, t_w): lists over links of
+    nested-tuple rotations / translation tuples, each entry an (N,) vector.
+    Matches kin.fk.fk_rot_trans exactly (same clamping and composition).
+    """
+    N = q_cols.shape[-1]
+    q_map = _static_q_map(model)
+    ones = jnp.ones((N,), q_cols.dtype)
+
+    R_w: List[Mat3] = [None] * model.n_links
+    t_w: List[Vec3] = [None] * model.n_links
+    for i in model.topological_order():
+        jtype = model.joint_types[i]
+        F = _scalar_mat3(model.joint_fixed_rot[i])
+        trans = tuple(model.joint_trans[i, k] * ones for k in range(3))
+        if jtype in (JOINT_REVOLUTE, JOINT_CONTINUOUS):
+            qi = q_cols[q_map[i]]
+            if jtype == JOINT_REVOLUTE:
+                qi = jnp.clip(qi, model.clamp_lower[i], model.clamp_upper[i])
+            c, s = jnp.cos(qi), jnp.sin(qi)
+            ax, ay, az = (model.joint_axis[i, k] for k in range(3))
+            one_c = 1.0 - c
+            # Rodrigues: R = I + s K + (1-c) K^2 with K = skew(axis)
+            R_j = (
+                (1.0 + one_c * (ax * ax - 1.0),
+                 -s * az + one_c * ax * ay,
+                 s * ay + one_c * ax * az),
+                (s * az + one_c * ax * ay,
+                 1.0 + one_c * (ay * ay - 1.0),
+                 -s * ax + one_c * ay * az),
+                (-s * ay + one_c * ax * az,
+                 s * ax + one_c * ay * az,
+                 1.0 + one_c * (az * az - 1.0)),
+            )
+            R_loc = _matmul3(F, R_j)
+        elif jtype == JOINT_PRISMATIC:
+            qi = jnp.clip(q_cols[q_map[i]], model.clamp_lower[i],
+                          model.clamp_upper[i])
+            R_loc = tuple(tuple(F[r][c] * ones for c in range(3))
+                          for r in range(3))
+            trans = tuple(trans[k] + model.joint_axis[i, k] * qi
+                          for k in range(3))
+        else:  # fixed
+            R_loc = tuple(tuple(F[r][c] * ones for c in range(3))
+                          for r in range(3))
+
+        p = model.parent_idx[i]
+        if p < 0:
+            R_w[i] = R_loc
+            t_w[i] = trans
+        else:
+            R_w[i] = _matmul3(R_w[p], R_loc)
+            tp = _matvec3(R_w[p], trans)
+            t_w[i] = tuple(tp[k] + t_w[p][k] for k in range(3))
+    return R_w, t_w
+
+
+def point_jacobians_lanes(model: KinematicModel, R_w, t_w, pts,
+                          point_link_idx: Sequence[int]):
+    """Analytic point Jacobians in lanes layout.
+
+    pts: list over P of Vec3 world points; point_link_idx: owning link ids.
+    Returns J: list over P of (3, n_dofs) nested lists of (N,) vectors
+    (None entries = structurally zero).
+    """
+    ctrl = list(model.controlled_link_idxs())
+    ancestry = model.ancestry_matrix()
+    # world joint axes
+    z = []
+    for li in ctrl:
+        axis = tuple(model.joint_axis[li, k] for k in range(3))
+        z.append(_matvec3(R_w[li], axis))
+    prism = [model.joint_types[li] == JOINT_PRISMATIC for li in ctrl]
+
+    J = []
+    for p_vec, link in zip(pts, point_link_idx):
+        cols = []
+        anc = ancestry[link]
+        for j, li in enumerate(ctrl):
+            if not anc[j]:
+                cols.append(None)
+                continue
+            if prism[j]:
+                cols.append(z[j])
+            else:
+                dx = tuple(p_vec[k] - t_w[li][k] for k in range(3))
+                zx, zy, zz = z[j]
+                cols.append((zy * dx[2] - zz * dx[1],
+                             zz * dx[0] - zx * dx[2],
+                             zx * dx[1] - zy * dx[0]))
+        J.append(cols)
+    return J
+
+
+def _group_sdf_lanes(group, x):
+    """SDF of one primitive group in SoA: x tuple of dim (N,) comps -> (N,).
+
+    Unrolled over the (static) primitive count; exact same math as
+    geom.sdf.{Spheres,SharpBoxes,RoundedBoxes}.signed_distance.
+    """
+    from ..geom.sdf import RoundedBoxes, SharpBoxes, Spheres
+    dim = len(x)
+    if isinstance(group, Spheres):
+        n = group.centers.shape[0]
+        out = None
+        for j in range(n):
+            d2 = None
+            for k in range(dim):
+                t = jnp.square(x[k] - group.centers[j, k])
+                d2 = t if d2 is None else d2 + t
+            nz = d2 > 0
+            dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            s = dist - group.radii[j]
+            out = s if out is None else jnp.minimum(out, s)
+        return out
+    if isinstance(group, RoundedBoxes):
+        n = group.centers.shape[0]
+        out = None
+        for j in range(n):
+            q = [jnp.abs(x[k] - group.centers[j, k]) - group.half_sizes[j, k]
+                 + group.round_radii[j] for k in range(dim)]
+            max_q = q[0]
+            for qk in q[1:]:
+                max_q = jnp.maximum(max_q, qk)
+            n2 = None
+            for qk in q:
+                t = jnp.square(jax.nn.relu(qk))
+                n2 = t if n2 is None else n2 + t
+            nz = n2 > 0
+            norm = jnp.where(nz, jnp.sqrt(jnp.where(nz, n2, 1.0)), 0.0)
+            s = jnp.minimum(max_q, 0.0) + norm - group.round_radii[j]
+            out = s if out is None else jnp.minimum(out, s)
+        return out
+    if isinstance(group, SharpBoxes):
+        n = group.centers.shape[0]
+        out = None
+        for j in range(n):
+            s = None
+            for k in range(dim):
+                t = (jnp.abs(x[k] - group.centers[j, k])
+                     - group.half_sizes[j, k])
+                s = t if s is None else jnp.maximum(s, t)
+            out = s if out is None else jnp.minimum(out, s)
+        return out
+    raise NotImplementedError(type(group))
+
+
+def _object_sdf_lanes(obj, pts3):
+    """Posed ObjectField SDF in SoA (mirrors ObjectField.signed_distance)."""
+    dim = obj.dim
+    # lift 2-D queries with z = 0, pull back into the object frame
+    x3 = list(pts3) + [jnp.zeros_like(pts3[0])] * (3 - dim)
+    from ..core.quaternion import q_to_rotation_matrix
+    Rm = q_to_rotation_matrix(obj.ori)
+    # x' = R^T (x - pos)
+    dxyz = [x3[k] - obj.pos[k] for k in range(3)]
+    x_obj = tuple(sum(Rm[k, i] * dxyz[k] for k in range(3))
+                  for i in range(3))[:dim]
+    out = None
+    for f in obj.fields:
+        s = _group_sdf_lanes(f, x_obj)
+        out = s if out is None else jnp.minimum(out, s)
+    return out
+
+
+def sdf_lanes(df_obj_list, pts3):
+    """Min-over-objects SDF of lane-layout points: pts3 tuple of (N,) comps.
+
+    Fully SoA — every intermediate is an (N,)-vector, no (N, 3) reshapes.
+    Supports analytic ObjectFields; GridSDF objects are handled by the caller
+    falling back to the generic path.
+    """
+    sdf = None
+    for df in df_obj_list:
+        s = _object_sdf_lanes(df, pts3)
+        sdf = s if sdf is None else jnp.minimum(sdf, s)
+    return sdf
+
+
+def lanes_supported_scene(df_obj_list) -> bool:
+    from ..geom.sdf import ObjectField
+    return all(isinstance(df, ObjectField) for df in df_obj_list)
+
+
+def obstacle_terms_lanes_factory(task):
+    """Build the lane-layout Gauss-Newton obstacle-terms function for a task.
+
+    Returns f(q_cols (d, N), lam) -> (g (m, N), Hb (m, m, N), cost (N,)), or
+    None if the task/robot combination has no lanes fast path (no kinematic
+    model SoA support, grid SDFs are fine).  Residual semantics identical to
+    PlanningTask.collision_residuals.
+    """
+    robot = task.robot
+    from ..robots import RobotPanda, RobotPointMass
+    df_obj_list = task.df_obj_list
+    cutoff = task.obstacle_cutoff_margin
+    ws_min = task.ws_min
+    ws_max = task.ws_max
+    d = robot.q_dim
+    m = 2 * d
+
+    if isinstance(robot, RobotPointMass):
+        def pts_jac_fn(q_cols):
+            pts = [tuple(q_cols[k] for k in range(d))]
+            eye_cols = [[tuple((jnp.full_like(q_cols[0], 1.0) if k == j
+                                else jnp.zeros_like(q_cols[0]))
+                               for k in range(d))
+                         for j in range(d)]]
+            return pts, eye_cols, [0]
+        ws_dim = d
+    elif isinstance(robot, RobotPanda):
+        model = robot.model
+        obj_idxs = list(robot.object_coll_idxs)
+        self_idxs = (list(robot.self_coll_idxs)
+                     if robot.self_coll_idxs else [])
+        used_links = sorted(set(obj_idxs + self_idxs))
+
+        def pts_jac_fn(q_cols):
+            R_w, t_w = fk_lanes(model, q_cols)
+            pts_all = {li: t_w[li] for li in used_links}
+            link_ids = used_links
+            pts = [pts_all[li] for li in link_ids]
+            if robot.grasped_n_points > 0:
+                gi = model.link_index(robot.link_name_grasped_object)
+                for g in range(robot.grasped_n_points):
+                    gp = tuple(robot.grasped_points[g, k] for k in range(3))
+                    world = _matvec3(R_w[gi], gp)
+                    pts.append(tuple(world[k] + t_w[gi][k] for k in range(3)))
+                link_ids = link_ids + [gi] * robot.grasped_n_points
+            J = point_jacobians_lanes(model, R_w, t_w, pts, link_ids)
+            return pts, J, link_ids
+        ws_dim = 3
+    else:
+        return None
+
+    pair_idxs = (np.asarray(robot.self_pair_idxs)
+                 if robot.self_pair_idxs is not None else None)
+
+    # map link index -> position in the pts list (built statically per robot)
+    if isinstance(robot, RobotPointMass):
+        obj_pts_pos = [0]
+        self_pts_pos = None
+        grasped_pos = []
+    else:
+        used_links = sorted(set(list(robot.object_coll_idxs)
+                                + list(robot.self_coll_idxs or [])))
+        link_to_pos = {li: i for i, li in enumerate(used_links)}
+        obj_pts_pos = [link_to_pos[li] for li in robot.object_coll_idxs]
+        n_used = len(used_links)
+        grasped_pos = list(range(n_used, n_used + robot.grasped_n_points))
+        obj_pts_pos = obj_pts_pos + grasped_pos
+        if robot.self_coll_idxs:
+            self_pts_pos = ([link_to_pos[li] for li in robot.self_coll_idxs]
+                            + grasped_pos)
+        else:
+            self_pts_pos = None
+
+    obj_margins = task.robot.object_margins
+    self_margins = getattr(task.robot, "self_margins", None)
+
+    def terms(q_cols, lam):
+        dtype = q_cols.dtype
+        N = q_cols.shape[-1]
+        pts, J, _ = pts_jac_fn(q_cols)
+
+        # residual rows: list of (r (N,), Jrow list of d entries (N,))
+        rows = []
+
+        def jrow_from_point_grad(grad3, ppos, scale):
+            """Chain a point-space gradient through the point Jacobian."""
+            cols = []
+            for j in range(d):
+                acc = None
+                Jp = J[ppos][j]
+                if Jp is not None:
+                    for k in range(3 if ws_dim == 3 else ws_dim):
+                        term = grad3[k] * Jp[k]
+                        acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = jnp.zeros((N,), dtype)
+                cols.append(scale * acc)
+            return cols
+
+        # --- objects ---
+        if df_obj_list:
+            for idx, ppos in enumerate(obj_pts_pos):
+                p3 = pts[ppos]
+                val, vjp = jax.vjp(
+                    lambda xyz: sdf_lanes(df_obj_list, xyz), p3)
+                grad3 = vjp(jnp.ones_like(val))[0]
+                r = jax.nn.relu(obj_margins[idx] + cutoff - val)
+                act = (r > 0).astype(dtype)
+                rows.append((r, jrow_from_point_grad(grad3, ppos, -act)))
+
+        # --- workspace bounds ---
+        for idx, ppos in enumerate(obj_pts_pos):
+            p3 = pts[ppos]
+
+            def ws_fn(xyz):
+                comps = [xyz[k] - ws_min[k] for k in range(ws_dim)] + \
+                        [ws_max[k] - xyz[k] for k in range(ws_dim)]
+                out = comps[0]
+                for c in comps[1:]:
+                    out = jnp.minimum(out, c)
+                return out
+
+            val, vjp = jax.vjp(ws_fn, p3)
+            grad3 = vjp(jnp.ones_like(val))[0]
+            r = jax.nn.relu(obj_margins[idx] + cutoff - val)
+            act = (r > 0).astype(dtype)
+            rows.append((r, jrow_from_point_grad(grad3, ppos, -act)))
+
+        # --- self-collision pairs ---
+        if self_pts_pos is not None and pair_idxs is not None \
+                and len(pair_idxs) > 0:
+            for k_pair, (ia, ib) in enumerate(pair_idxs):
+                pa = pts[self_pts_pos[ia]]
+                pb = pts[self_pts_pos[ib]]
+                diff = tuple(pa[k] - pb[k] for k in range(3))
+                d2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+                nz = d2 > 0
+                dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+                inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+                u = tuple(diff[k] * inv for k in range(3))
+                r = jax.nn.relu(self_margins[k_pair] - dist)
+                act = (r > 0).astype(dtype)
+                ppos_a, ppos_b = self_pts_pos[ia], self_pts_pos[ib]
+                cols = []
+                for j in range(d):
+                    acc = None
+                    for (ppos, sgn) in ((ppos_a, 1.0), (ppos_b, -1.0)):
+                        Jp = J[ppos][j]
+                        if Jp is None:
+                            continue
+                        term = sgn * (u[0] * Jp[0] + u[1] * Jp[1]
+                                      + u[2] * Jp[2])
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = jnp.zeros((N,), dtype)
+                    cols.append(-act * acc)
+                rows.append((r, cols))
+
+        # --- assemble g (m, N), Hb (m, m, N), cost (N,) ---
+        g_cols = [None] * d
+        H_cols = [[None] * d for _ in range(d)]
+        cost = None
+        for r, jrow in rows:
+            c = r * r
+            cost = c if cost is None else cost + c
+            for i in range(d):
+                gi = jrow[i] * r
+                g_cols[i] = gi if g_cols[i] is None else g_cols[i] + gi
+                for j in range(i, d):
+                    hij = jrow[i] * jrow[j]
+                    H_cols[i][j] = (hij if H_cols[i][j] is None
+                                    else H_cols[i][j] + hij)
+
+        zeros = jnp.zeros((N,), dtype)
+        g = jnp.stack([lam * (g_cols[i] if g_cols[i] is not None else zeros)
+                       for i in range(d)] + [zeros] * d)
+        H_rows = []
+        for i in range(m):
+            row = []
+            for j in range(m):
+                if i < d and j < d:
+                    hij = H_cols[min(i, j)][max(i, j)]
+                    row.append(lam * hij if hij is not None else zeros)
+                else:
+                    row.append(zeros)
+            H_rows.append(jnp.stack(row))
+        Hb = jnp.stack(H_rows)
+        cost_out = 0.5 * lam * (cost if cost is not None else zeros)
+        return g, Hb, cost_out
+
+    return terms

@@ -110,6 +110,13 @@ def block_tridiag_solve_lanes(D, U, b):
     Dt = jnp.transpose(D, (1, 2, 3, 0))
     Ut = jnp.transpose(U_pad, (1, 2, 3, 0))
     bt = jnp.transpose(b_flat, (1, 2, 0))
+    x = solve_lanes_core(Dt, Ut, bt)                  # (H, m, B)
+    return jnp.transpose(x, (2, 0, 1)).reshape(batch + (H, m))
+
+
+def solve_lanes_core(Dt, Ut, bt):
+    """Lane-layout core solve: Dt (H, m, m, B), Ut (H, m, m, B or 1) with the
+    last block unused, bt (H, m, B) -> x (H, m, B)."""
 
     def fwd(carry, inp):
         S_prev, Wy_prev = carry
@@ -134,5 +141,4 @@ def block_tridiag_solve_lanes(D, U, b):
 
     x0 = jnp.zeros_like(bt[0])
     _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], W[::-1], y[::-1]))
-    x = x_rev[::-1]                                   # (H, m, B)
-    return jnp.transpose(x, (2, 0, 1)).reshape(batch + (H, m))
+    return x_rev[::-1]                                # (H, m, B)

@@ -116,8 +116,52 @@ def gpmp2_step(residual_fn: Callable, theta, start_state, goal_state,
     the TPU's default bf16 matmul inputs).
     """
     with jax.default_matmul_precision("float32"):
+        lanes_terms = getattr(residual_fn, "obstacle_terms_lanes", None)
+        if lanes_terms is not None and theta.ndim == 3:
+            return _gpmp2_step_lanes_impl(lanes_terms, theta, start_state,
+                                          goal_state, params)
         return _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
                                 params)
+
+
+def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
+                           params: GPMP2Params):
+    """Fully lane-vectorized GN step: theta (B, H, m).
+
+    All obstacle terms, J^T J assembly and the block-tridiagonal solve run
+    with the batch in the minor (lane) dimension — zero tile padding on the
+    small 3/7/14-sized dims.  N ordering is h-major (n = h * B + b) so the
+    reshape into the (H, m, m, B) solver layout permutes only small axes.
+    """
+    from .btridiag_lanes import solve_lanes_core
+
+    B, H, m = theta.shape
+    d = m // 2
+    lam = 1.0 / (params.sigma_coll ** 2)
+
+    q_cols = jnp.transpose(theta[..., :d], (2, 1, 0)).reshape(d, H * B)
+    g_obs, H_obs, cost = lanes_terms(q_cols, lam)     # (m,N),(m,m,N),(N,)
+
+    g_gp, D, U = gp_prior_terms(
+        theta, start_state, goal_state, params.dt, params.sigma_start,
+        params.sigma_gp, params.sigma_goal_prior)
+
+    # assemble in lanes layout
+    g_obs_l = jnp.transpose(g_obs.reshape(m, H, B), (1, 0, 2))     # (H, m, B)
+    g_gp_l = jnp.transpose(g_gp, (1, 2, 0))                        # (H, m, B)
+    b_l = -(g_gp_l + g_obs_l)
+    eye = jnp.eye(m, dtype=theta.dtype)
+    D_l = (D[..., None]
+           + jnp.transpose(H_obs.reshape(m, m, H, B), (2, 0, 1, 3))
+           + params.solver_delta * eye[..., None])                  # (H,m,m,B)
+    U_pad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
+    U_l = U_pad[..., None]                                          # (H,m,m,1)
+
+    x_l = solve_lanes_core(D_l, U_l, b_l)                           # (H, m, B)
+    delta = jnp.transpose(x_l, (2, 0, 1))
+    theta_next = theta + params.step_size * delta
+    cost_traj = jnp.sum(cost.reshape(H, B), axis=0)
+    return theta_next, cost_traj
 
 
 def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,

@@ -213,6 +213,14 @@ class PlanningTask:
 
             residuals.residuals_and_jacobian = residuals_and_jacobian
 
+            # fully lane-vectorized GN terms (analytic scenes only)
+            from ..ops.lanes_fk import (lanes_supported_scene,
+                                        obstacle_terms_lanes_factory)
+            if lanes_supported_scene(self.df_obj_list):
+                lanes_terms = obstacle_terms_lanes_factory(self)
+                if lanes_terms is not None:
+                    residuals.obstacle_terms_lanes = lanes_terms
+
         return residuals
 
     def compute_collision_cost(self, x):
