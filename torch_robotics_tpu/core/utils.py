@@ -71,6 +71,42 @@ def batched_weighted_dot_prod(x, M, y):
     return jnp.einsum("...ij,...ij->...j", x, My)
 
 
+class MinMaxScaler:
+    """Scale values to [0, 1] by (x - min) / (max - min).
+
+    Mirrors the reference scaler (geometrics/utils.py:67-93); min/max are
+    taken from the first array seen unless provided.
+    """
+
+    def __init__(self, min=None, max=None, dim=None):
+        self.min = min
+        self.max = max
+        self.dim = dim
+
+    def scale(self, X):
+        if self.min is None:
+            self.min = (jnp.min(X) if self.dim is None
+                        else jnp.min(X, axis=self.dim))
+        if self.max is None:
+            self.max = (jnp.max(X) if self.dim is None
+                        else jnp.max(X, axis=self.dim))
+        return (X - self.min) / (self.max - self.min)
+
+
+def euclidean_distance(x_batch, x_target, w_pos=1.0, normalized_input=False):
+    """Weighted Euclidean distance (geometrics/utils.py:96-127 core path)."""
+    if normalized_input:
+        x_batch = MinMaxScaler(dim=-2).scale(x_batch)
+        x_target = MinMaxScaler(dim=-2).scale(x_target)
+    return w_pos * jnp.linalg.norm(x_batch - x_target, axis=-1)
+
+
+def torch_intersect_1d(a, b):
+    """Intersection of two 1-D integer arrays (host-side, data-dependent
+    shape; mirrors torch_utils/torch_utils.py:156-159)."""
+    return jnp.asarray(np.intersect1d(np.asarray(a), np.asarray(b)))
+
+
 def finite_difference_vector(x, dt=1.0, method="forward"):
     """Finite differences along axis -2 with zero padding at the borders.
 

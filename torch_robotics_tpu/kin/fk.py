@@ -192,7 +192,8 @@ def geometric_jacobian(model: KinematicModel, q, link_name: str):
     return (jnp.swapaxes(lin, -1, -2), jnp.swapaxes(ang, -1, -2))
 
 
-def point_jacobians(model: KinematicModel, R, t, points, point_link_idx):
+def point_jacobians(model: KinematicModel, R, t, points, point_link_idx,
+                    q=None):
     """Analytic position Jacobians of points rigidly attached to links.
 
     For a point p attached to link l, column j of its Jacobian is
@@ -203,6 +204,8 @@ def point_jacobians(model: KinematicModel, R, t, points, point_link_idx):
 
     R, t: fk_rot_trans output (..., L, 3, 3)/(..., L, 3);
     points: (..., P, 3) world points; point_link_idx: (P,) owning link ids.
+    If ``q`` is given, columns of joints clamped at their limits inside FK
+    are zeroed (matching d/dq of the clamped chain).
     Returns J: (..., P, 3, n_dofs).
     """
     import numpy as np
@@ -220,6 +223,10 @@ def point_jacobians(model: KinematicModel, R, t, points, point_link_idx):
     lin_rev = jnp.cross(z_j[..., None, :, :], diff)
     lin = jnp.where(prism[..., None] > 0, z_j[..., None, :, :], lin_rev)
     J = lin * mask[..., None]                                    # (..., P, J, 3)
+    if q is not None:
+        in_limits = ((q >= model.clamp_lower[ctrl])
+                     & (q <= model.clamp_upper[ctrl])).astype(J.dtype)
+        J = J * in_limits[..., None, :, None]
     return jnp.swapaxes(J, -1, -2)                               # (..., P, 3, J)
 
 

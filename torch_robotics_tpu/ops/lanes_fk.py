@@ -113,20 +113,29 @@ def fk_lanes(model: KinematicModel, q_cols):
 
 
 def point_jacobians_lanes(model: KinematicModel, R_w, t_w, pts,
-                          point_link_idx: Sequence[int]):
+                          point_link_idx: Sequence[int], q_cols=None):
     """Analytic point Jacobians in lanes layout.
 
     pts: list over P of Vec3 world points; point_link_idx: owning link ids.
+    If ``q_cols`` (d, N) is given, columns of joints clamped at their limits
+    are zeroed (d/dq of the clamped FK chain).
     Returns J: list over P of (3, n_dofs) nested lists of (N,) vectors
     (None entries = structurally zero).
     """
     ctrl = list(model.controlled_link_idxs())
+    q_map = _static_q_map(model)
     ancestry = model.ancestry_matrix()
-    # world joint axes
+    # world joint axes (masked by clamp activation)
     z = []
     for li in ctrl:
         axis = tuple(model.joint_axis[li, k] for k in range(3))
-        z.append(_matvec3(R_w[li], axis))
+        zi = _matvec3(R_w[li], axis)
+        if q_cols is not None:
+            qj = q_cols[q_map[li]]
+            in_lim = ((qj >= model.clamp_lower[li])
+                      & (qj <= model.clamp_upper[li])).astype(qj.dtype)
+            zi = tuple(c * in_lim for c in zi)
+        z.append(zi)
     prism = [model.joint_types[li] == JOINT_PRISMATIC for li in ctrl]
 
     J = []
@@ -284,7 +293,8 @@ def obstacle_terms_lanes_factory(task):
                     world = _matvec3(R_w[gi], gp)
                     pts.append(tuple(world[k] + t_w[gi][k] for k in range(3)))
                 link_ids = link_ids + [gi] * robot.grasped_n_points
-            J = point_jacobians_lanes(model, R_w, t_w, pts, link_ids)
+            J = point_jacobians_lanes(model, R_w, t_w, pts, link_ids,
+                                      q_cols=q_cols)
             return pts, J, link_ids
         ws_dim = 3
     else:

@@ -142,7 +142,7 @@ class RobotPanda(RobotAPI):
                      + t_g[..., None, :])
             pts = jnp.concatenate([t, pts_g], axis=-2)
             point_link_idx = point_link_idx + [gi] * self.grasped_n_points
-        J = point_jacobians(self.model, R, t, pts, point_link_idx)
+        J = point_jacobians(self.model, R, t, pts, point_link_idx, q=q)
         return pts, J
 
     # ------------------------------------------------------------------
