@@ -1,0 +1,43 @@
+"""Receding-horizon MPC: Franka Panda in EnvSpheres3D.
+
+Runs a batch of MPC problems to goal configurations, executes the resulting
+state rollouts through the PD harness, and reports success statistics.
+"""
+import jax
+import jax.numpy as jnp
+
+from torch_robotics_tpu.envs import EnvSpheres3D
+from torch_robotics_tpu.robots import RobotPanda
+from torch_robotics_tpu.solve import GPMP2Params
+from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
+from torch_robotics_tpu.tasks import PlanningTask
+
+if __name__ == "__main__":
+    env = EnvSpheres3D()
+    robot = RobotPanda.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+
+    B = 32
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    starts, n1 = task.random_coll_free_q(k1, n_samples=B, max_samples=2048)
+    goals, n2 = task.random_coll_free_q(k2, n_samples=B, max_samples=2048)
+    print(f"sampled {int(n1)}/{B} starts, {int(n2)}/{B} goals collision-free")
+
+    start_states = jnp.concatenate([starts, jnp.zeros_like(starts)], axis=-1)
+    goal_states = jnp.concatenate([goals, jnp.zeros_like(goals)], axis=-1)
+
+    gp = GPMP2Params(n_support_points=32, dt=0.04, sigma_start=1e-3,
+                     sigma_gp=1e-1, sigma_goal_prior=1e-3, sigma_coll=2e-3,
+                     step_size=0.8)
+    params = MPCParams(gpmp2=gp, iters_per_step=2)
+    xs, info = mpc_rollout(task.collision_residuals, start_states,
+                           goal_states, params, n_steps=60)
+    dist = info["dist_to_goal"][-1]
+    print(f"MPC: mean final distance to goal "
+          f"{float(dist.mean()):.3f} rad, "
+          f"{int((dist < 0.2).sum())}/{B} within 0.2 rad")
+
+    coll = task.compute_collision(xs)
+    frac = float(jnp.mean(jnp.any(coll, axis=-1)))
+    print(f"{(1 - frac) * 100:.0f}% of executed rollouts collision-free")

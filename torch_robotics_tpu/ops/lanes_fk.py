@@ -325,118 +325,96 @@ def obstacle_terms_lanes_factory(task):
     obj_margins = task.robot.object_margins
     self_margins = getattr(task.robot, "self_margins", None)
 
+    obj_pts_pos_np = np.asarray(obj_pts_pos, np.int32)
+
     def terms(q_cols, lam):
         dtype = q_cols.dtype
         N = q_cols.shape[-1]
         pts, J, _ = pts_jac_fn(q_cols)
+        P_pts = len(pts)
+        zeros_N = jnp.zeros((N,), dtype)
 
-        # residual rows: list of (r (N,), Jrow list of d entries (N,))
-        rows = []
+        # stack points (ws_dim, P, N) and Jacobians (P, d, ws_dim, N) once;
+        # downstream work is a handful of einsums with the batch minor.
+        pts_arr = jnp.stack([jnp.stack([pts[p][k] for p in range(P_pts)])
+                             for k in range(ws_dim)])
+        J_arr = jnp.stack([
+            jnp.stack([
+                jnp.stack([J[p][j][k] if J[p][j] is not None else zeros_N
+                           for k in range(ws_dim)])
+                for j in range(d)])
+            for p in range(P_pts)])
 
-        def jrow_from_point_grad(grad3, ppos, scale):
-            """Chain a point-space gradient through the point Jacobian."""
-            cols = []
-            for j in range(d):
-                acc = None
-                Jp = J[ppos][j]
-                if Jp is not None:
-                    for k in range(3 if ws_dim == 3 else ws_dim):
-                        term = grad3[k] * Jp[k]
-                        acc = term if acc is None else acc + term
-                if acc is None:
-                    acc = jnp.zeros((N,), dtype)
-                cols.append(scale * acc)
-            return cols
+        r_parts, Jr_parts = [], []
 
-        # --- objects ---
-        if df_obj_list:
-            for idx, ppos in enumerate(obj_pts_pos):
-                p3 = pts[ppos]
-                val, vjp = jax.vjp(
-                    lambda xyz: sdf_lanes(df_obj_list, xyz), p3)
-                grad3 = vjp(jnp.ones_like(val))[0]
-                r = jax.nn.relu(obj_margins[idx] + cutoff - val)
-                act = (r > 0).astype(dtype)
-                rows.append((r, jrow_from_point_grad(grad3, ppos, -act)))
-
-        # --- workspace bounds ---
-        for idx, ppos in enumerate(obj_pts_pos):
-            p3 = pts[ppos]
-
-            def ws_fn(xyz):
-                comps = [xyz[k] - ws_min[k] for k in range(ws_dim)] + \
-                        [ws_max[k] - xyz[k] for k in range(ws_dim)]
-                out = comps[0]
-                for c in comps[1:]:
-                    out = jnp.minimum(out, c)
-                return out
-
-            val, vjp = jax.vjp(ws_fn, p3)
-            grad3 = vjp(jnp.ones_like(val))[0]
-            r = jax.nn.relu(obj_margins[idx] + cutoff - val)
+        def hinge_rows(margins_vec, val, grad, J_sub):
+            """val (P?, N), grad (ws_dim, P?, N), J_sub (P?, d, ws_dim, N)."""
+            r = jax.nn.relu(margins_vec[:, None] + cutoff - val)
             act = (r > 0).astype(dtype)
-            rows.append((r, jrow_from_point_grad(grad3, ppos, -act)))
+            Jr = -act[:, None, :] * jnp.einsum("kpn,pjkn->pjn", grad, J_sub)
+            r_parts.append(r)
+            Jr_parts.append(Jr)
+
+        obj_pts_sub = pts_arr[:, obj_pts_pos_np]          # (ws_dim, P_obj, N)
+        J_obj_sub = J_arr[obj_pts_pos_np]                 # (P_obj, d, ws_dim, N)
+
+        # --- objects: one stacked SDF evaluation + one reverse sweep ---
+        if df_obj_list:
+            P_obj = obj_pts_sub.shape[1]
+            flat = tuple(obj_pts_sub[k].reshape(P_obj * N)
+                         for k in range(ws_dim))
+            val_flat, vjp = jax.vjp(lambda xyz: sdf_lanes(df_obj_list, xyz),
+                                    flat)
+            grad_flat = vjp(jnp.ones_like(val_flat))[0]
+            val = val_flat.reshape(P_obj, N)
+            grad = jnp.stack([g.reshape(P_obj, N) for g in grad_flat])
+            hinge_rows(obj_margins, val, grad, J_obj_sub)
+
+        # --- workspace bounds: closed-form min-face distance + gradient ---
+        d_lo = obj_pts_sub - jnp.asarray(ws_min, dtype)[:, None, None]
+        d_hi = jnp.asarray(ws_max, dtype)[:, None, None] - obj_pts_sub
+        faces = jnp.concatenate([d_lo, d_hi], axis=0)     # (2*ws_dim, P, N)
+        val_ws = jnp.min(faces, axis=0)
+        amin = jnp.argmin(faces, axis=0)                  # (P, N)
+        # grad of min-face distance: +e_k for a low face, -e_k for a high face
+        sign = jnp.where(amin < ws_dim, 1.0, -1.0).astype(dtype)
+        axis_id = jnp.where(amin < ws_dim, amin, amin - ws_dim)
+        grad_ws = jnp.stack([sign * (axis_id == k).astype(dtype)
+                             for k in range(ws_dim)])     # (ws_dim, P, N)
+        hinge_rows(obj_margins, val_ws, grad_ws, J_obj_sub)
 
         # --- self-collision pairs ---
         if self_pts_pos is not None and pair_idxs is not None \
                 and len(pair_idxs) > 0:
-            for k_pair, (ia, ib) in enumerate(pair_idxs):
-                pa = pts[self_pts_pos[ia]]
-                pb = pts[self_pts_pos[ib]]
-                diff = tuple(pa[k] - pb[k] for k in range(3))
-                d2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
-                nz = d2 > 0
-                dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
-                inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
-                u = tuple(diff[k] * inv for k in range(3))
-                r = jax.nn.relu(self_margins[k_pair] - dist)
-                act = (r > 0).astype(dtype)
-                ppos_a, ppos_b = self_pts_pos[ia], self_pts_pos[ib]
-                cols = []
-                for j in range(d):
-                    acc = None
-                    for (ppos, sgn) in ((ppos_a, 1.0), (ppos_b, -1.0)):
-                        Jp = J[ppos][j]
-                        if Jp is None:
-                            continue
-                        term = sgn * (u[0] * Jp[0] + u[1] * Jp[1]
-                                      + u[2] * Jp[2])
-                        acc = term if acc is None else acc + term
-                    if acc is None:
-                        acc = jnp.zeros((N,), dtype)
-                    cols.append(-act * acc)
-                rows.append((r, cols))
+            a_pos = np.asarray([self_pts_pos[ia] for ia, _ in pair_idxs],
+                               np.int32)
+            b_pos = np.asarray([self_pts_pos[ib] for _, ib in pair_idxs],
+                               np.int32)
+            diff = pts_arr[:, a_pos] - pts_arr[:, b_pos]  # (3, K, N)
+            d2 = jnp.sum(jnp.square(diff), axis=0)
+            nz = d2 > 0
+            dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+            u = diff * inv[None]                          # (3, K, N)
+            r_s = jax.nn.relu(self_margins[:, None] - dist)
+            act = (r_s > 0).astype(dtype)
+            J_d = J_arr[a_pos] - J_arr[b_pos]             # (K, d, 3, N)
+            Jr_s = -act[:, None, :] * jnp.einsum("kpn,pjkn->pjn", u, J_d)
+            r_parts.append(r_s)
+            Jr_parts.append(Jr_s)
 
-        # --- assemble g (m, N), Hb (m, m, N), cost (N,) ---
-        g_cols = [None] * d
-        H_cols = [[None] * d for _ in range(d)]
-        cost = None
-        for r, jrow in rows:
-            c = r * r
-            cost = c if cost is None else cost + c
-            for i in range(d):
-                gi = jrow[i] * r
-                g_cols[i] = gi if g_cols[i] is None else g_cols[i] + gi
-                for j in range(i, d):
-                    hij = jrow[i] * jrow[j]
-                    H_cols[i][j] = (hij if H_cols[i][j] is None
-                                    else H_cols[i][j] + hij)
+        r_all = jnp.concatenate(r_parts, axis=0)          # (P_res, N)
+        Jr_all = jnp.concatenate(Jr_parts, axis=0)        # (P_res, d, N)
 
-        zeros = jnp.zeros((N,), dtype)
-        g = jnp.stack([lam * (g_cols[i] if g_cols[i] is not None else zeros)
-                       for i in range(d)] + [zeros] * d)
-        H_rows = []
-        for i in range(m):
-            row = []
-            for j in range(m):
-                if i < d and j < d:
-                    hij = H_cols[min(i, j)][max(i, j)]
-                    row.append(lam * hij if hij is not None else zeros)
-                else:
-                    row.append(zeros)
-            H_rows.append(jnp.stack(row))
-        Hb = jnp.stack(H_rows)
-        cost_out = 0.5 * lam * (cost if cost is not None else zeros)
-        return g, Hb, cost_out
+        g_q = lam * jnp.einsum("pn,pjn->jn", r_all, Jr_all)
+        H_qq = lam * jnp.einsum("pin,pjn->ijn", Jr_all, Jr_all)
+        cost = 0.5 * lam * jnp.sum(jnp.square(r_all), axis=0)
+
+        # embed into the full state dimension (zeros on the velocity part)
+        g = jnp.concatenate([g_q, jnp.zeros((m - d, N), dtype)], axis=0)
+        top = jnp.concatenate([H_qq, jnp.zeros((d, m - d, N), dtype)], axis=1)
+        bot = jnp.zeros((m - d, m, N), dtype)
+        Hb = jnp.concatenate([top, bot], axis=0)
+        return g, Hb, cost
 
     return terms

@@ -57,6 +57,8 @@ class PlanningTask:
 
         self._cost_fn = jax.jit(self._compute_cost)
         self._coll_fn = jax.jit(self._compute_collision, static_argnames=("margin_override",))
+        self._occ_fn = (jax.jit(self._compute_collision_occupancy)
+                        if use_occupancy_map else None)
         self.collision_residuals = self._build_residual_fn()
 
     # ------------------------------------------------------------------
@@ -229,7 +231,26 @@ class PlanningTask:
 
     def compute_collision(self, x, margin=None):
         """x: (..., d_state) states -> per-waypoint collision flags (...)."""
-        return self._coll_fn(self.robot.get_position(x), margin_override=margin)
+        q = self.robot.get_position(x)
+        if self.use_occupancy_map:
+            return self._occ_fn(q)
+        return self._coll_fn(q, margin_override=margin)
+
+    def _compute_collision_occupancy(self, q):
+        """Occupancy-grid collision check (the reference's occupancy branch,
+        tasks.py:159-199, is dead code there; implemented properly here):
+        a configuration collides iff q is outside the joint limits, any
+        task-space point leaves the workspace, or any point's occupancy cell
+        is occupied."""
+        out_of_limits = jnp.any((q < self.robot.q_min)
+                                | (q > self.robot.q_max), axis=-1)
+        pts = self.robot.object_collision_points(
+            self.robot.fk_map_collision(q))
+        out_of_ws = jnp.any(jnp.any(
+            (pts < self.ws_min) | (pts > self.ws_max), axis=-1), axis=-1)
+        occ = self.env.occupancy_map.get_collisions(pts)
+        hit = jnp.any(occ > 0, axis=-1)
+        return out_of_limits | out_of_ws | hit
 
     # ------------------------------------------------------------------
     # Sampling (tasks.py:97-129)
