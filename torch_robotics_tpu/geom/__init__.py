@@ -5,3 +5,4 @@ from .sdf import (
 from .grid_sdf import GridSDF, precompute_sdf_grid
 from .occupancy import OccupancyMap, build_occupancy_map
 from .objects import GraspedObject, GraspedObjectPandaBox
+from .point_cloud import PointCloudSpheres
