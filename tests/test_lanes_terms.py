@@ -59,3 +59,21 @@ def test_gpmp2_lanes_step_matches_generic():
     res_ref = gpmp2_solve(residuals_plain, theta0, start, goal, params)
     np.testing.assert_allclose(res_lanes.trajs, res_ref.trajs,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_lanes_terms_grid_scene_matches_reference_path():
+    env = EnvDense2D(precompute_sdf_obj_fixed=True, sdf_cell_size=0.01)
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    lanes = getattr(task.collision_residuals, "obstacle_terms_lanes", None)
+    assert lanes is not None
+    q = robot.random_q(jax.random.PRNGKey(3), 64)
+    lam = 1.0
+    g_l, H_l, cost_l = lanes(q.T, lam)
+    g_ref, H_ref, cost_ref = _obstacle_terms(
+        task.collision_residuals, q, 4, lam)
+    np.testing.assert_allclose(jnp.moveaxis(g_l, 0, -1), g_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(jnp.moveaxis(H_l, (0, 1), (-2, -1)), H_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(cost_l, cost_ref, rtol=1e-5, atol=1e-6)

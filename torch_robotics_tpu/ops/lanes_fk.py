@@ -233,19 +233,73 @@ def sdf_lanes(df_obj_list, pts3):
     """Min-over-objects SDF of lane-layout points: pts3 tuple of (N,) comps.
 
     Fully SoA — every intermediate is an (N,)-vector, no (N, 3) reshapes.
-    Supports analytic ObjectFields; GridSDF objects are handled by the caller
-    falling back to the generic path.
     """
+    from ..geom.grid_sdf import GridSDF
     sdf = None
     for df in df_obj_list:
-        s = _object_sdf_lanes(df, pts3)
+        if isinstance(df, GridSDF):
+            s, _ = _grid_sdf_lanes(df, pts3)
+        else:
+            s = _object_sdf_lanes(df, pts3)
         sdf = s if sdf is None else jnp.minimum(sdf, s)
     return sdf
 
 
+def _grid_sdf_lanes(grid, pts3):
+    """GridSDF nearest-cell lookup in SoA: returns (value (N,), grad tuple).
+
+    Same indexing + surrogate-gradient semantics as GridSDF.signed_distance
+    (geom/grid_sdf.py): value = cell SDF, gradient = cell gradient.
+    """
+    dim = grid.dim
+    cmap = grid.cmap_dim
+    idxs = []
+    for k in range(dim):
+        extent = jnp.abs(grid.limits[1, k] - grid.limits[0, k])
+        ik = jnp.floor((pts3[k] - grid.limits[0, k]) / extent
+                       * cmap[k]).astype(jnp.int32)
+        idxs.append(jnp.clip(ik, 0, cmap[k] - 1))
+    # flatten to 1-D gathers over (N,) lanes
+    flat = idxs[0]
+    for k in range(1, dim):
+        flat = flat * cmap[k] + idxs[k]
+    val = grid.sdf_grid.reshape(-1)[flat]
+    grad_flat = grid.grad_grid.reshape(-1, dim)
+    grad = tuple(grad_flat[:, k][flat] for k in range(dim))
+    if dim == 2:
+        grad = grad + (jnp.zeros_like(grad[0]),)
+    return val, grad
+
+
+def sdf_and_grad_lanes(df_obj_list, pts3, ws_dim):
+    """(min-over-objects SDF, its gradient) in SoA.
+
+    Analytic fields use one reverse sweep each; GridSDF uses the closed-form
+    surrogate gradient.  The gradient of the min selects per-element.
+    """
+    from ..geom.grid_sdf import GridSDF
+    best_val, best_grad = None, None
+    for df in df_obj_list:
+        if isinstance(df, GridSDF):
+            val, grad = _grid_sdf_lanes(df, pts3)
+            grad = grad[:ws_dim]
+        else:
+            val, vjp = jax.vjp(lambda xyz: _object_sdf_lanes(df, xyz), pts3)
+            grad = vjp(jnp.ones_like(val))[0]
+        if best_val is None:
+            best_val, best_grad = val, list(grad)
+        else:
+            take = val < best_val
+            best_grad = [jnp.where(take, g_new, g_old)
+                         for g_new, g_old in zip(grad, best_grad)]
+            best_val = jnp.minimum(best_val, val)
+    return best_val, tuple(best_grad)
+
+
 def lanes_supported_scene(df_obj_list) -> bool:
+    from ..geom.grid_sdf import GridSDF
     from ..geom.sdf import ObjectField
-    return all(isinstance(df, ObjectField) for df in df_obj_list)
+    return all(isinstance(df, (ObjectField, GridSDF)) for df in df_obj_list)
 
 
 def obstacle_terms_lanes_factory(task):
@@ -358,14 +412,13 @@ def obstacle_terms_lanes_factory(task):
         obj_pts_sub = pts_arr[:, obj_pts_pos_np]          # (ws_dim, P_obj, N)
         J_obj_sub = J_arr[obj_pts_pos_np]                 # (P_obj, d, ws_dim, N)
 
-        # --- objects: one stacked SDF evaluation + one reverse sweep ---
+        # --- objects: one stacked SDF evaluation (+ gradient) ---
         if df_obj_list:
             P_obj = obj_pts_sub.shape[1]
             flat = tuple(obj_pts_sub[k].reshape(P_obj * N)
                          for k in range(ws_dim))
-            val_flat, vjp = jax.vjp(lambda xyz: sdf_lanes(df_obj_list, xyz),
-                                    flat)
-            grad_flat = vjp(jnp.ones_like(val_flat))[0]
+            val_flat, grad_flat = sdf_and_grad_lanes(df_obj_list, flat,
+                                                     ws_dim)
             val = val_flat.reshape(P_obj, N)
             grad = jnp.stack([g.reshape(P_obj, N) for g in grad_flat])
             hinge_rows(obj_margins, val, grad, J_obj_sub)
