@@ -8,3 +8,5 @@ from .chomp import CHOMPParams, CHOMPResult, chomp_solve
 from .sampling import SGPMPParams, SGPMPResult, sgpmp_solve
 from .mpc import MPCParams, MPCState, mpc_init, mpc_rollout, mpc_step
 from .rrt import RRTConnectParams, rrt_connect
+from .ee_goal import make_ee_goal_terms
+from .btridiag_lanes import block_tridiag_solve_lanes

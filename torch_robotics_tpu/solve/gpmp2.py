@@ -107,10 +107,12 @@ def _obstacle_terms(residual_fn, q, d_state, lam):
 
 
 def gpmp2_step(residual_fn: Callable, theta, start_state, goal_state,
-               params: GPMP2Params):
+               params: GPMP2Params, ee_goal_terms: Callable = None):
     """One Gauss-Newton step over a batch of trajectories.
 
     theta: (..., H, 2d); residual_fn: q (..., d) -> (..., P) hinge residuals.
+    ee_goal_terms (optional, from solve.ee_goal.make_ee_goal_terms): extra
+    task-space goal factor applied to the final waypoint.
     Returns (theta_next, scalar collision cost per trajectory).
     Traces at float32 matmul precision (ill-conditioned GN systems NaN under
     the TPU's default bf16 matmul inputs).
@@ -119,13 +121,13 @@ def gpmp2_step(residual_fn: Callable, theta, start_state, goal_state,
         lanes_terms = getattr(residual_fn, "obstacle_terms_lanes", None)
         if lanes_terms is not None and theta.ndim == 3:
             return _gpmp2_step_lanes_impl(lanes_terms, theta, start_state,
-                                          goal_state, params)
+                                          goal_state, params, ee_goal_terms)
         return _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
-                                params)
+                                params, ee_goal_terms)
 
 
 def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
-                           params: GPMP2Params):
+                           params: GPMP2Params, ee_goal_terms=None):
     """Fully lane-vectorized GN step: theta (B, H, m).
 
     All obstacle terms, J^T J assembly and the block-tridiagonal solve run
@@ -154,6 +156,13 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
     D_l = (D[..., None]
            + jnp.transpose(H_obs.reshape(m, m, H, B), (2, 0, 1, 3))
            + params.solver_delta * eye[..., None])                  # (H,m,m,B)
+    if ee_goal_terms is not None:
+        g_ee, H_ee, _ = ee_goal_terms(theta[..., -1, :d])           # (B,m),(B,m,m)
+        b_l = jnp.concatenate(
+            [b_l[:-1], (b_l[-1] - g_ee.T)[None]], axis=0)
+        D_l = jnp.concatenate(
+            [D_l[:-1], (D_l[-1] + jnp.transpose(H_ee, (1, 2, 0)))[None]],
+            axis=0)
     U_pad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
     U_l = U_pad[..., None]                                          # (H,m,m,1)
 
@@ -165,7 +174,7 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
 
 
 def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
-                     params: GPMP2Params):
+                     params: GPMP2Params, ee_goal_terms=None):
     m = theta.shape[-1]
     d = m // 2
     g_gp, D, U = gp_prior_terms(
@@ -175,6 +184,14 @@ def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
     g_obs, H_obs, cost_obs = _obstacle_terms(residual_fn, theta[..., :d], m, lam)
     g = g_gp + g_obs
     D = D + H_obs + params.solver_delta * jnp.eye(m, dtype=theta.dtype)
+    if ee_goal_terms is not None:
+        d = m // 2
+        g_ee, H_ee, _ = ee_goal_terms(theta[..., -1, :d])
+        g = jnp.concatenate(
+            [g[..., :-1, :], (g[..., -1, :] + g_ee)[..., None, :]], axis=-2)
+        D = jnp.concatenate(
+            [D[..., :-1, :, :],
+             (D[..., -1, :, :] + H_ee)[..., None, :, :]], axis=-3)
     # lane-vectorized solver for small state blocks (zero tile padding)
     solver = block_tridiag_solve_lanes if m <= 32 else block_tridiag_solve
     delta = solver(D, U, -g)
@@ -182,16 +199,18 @@ def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
     return theta_next, jnp.sum(cost_obs, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("residual_fn", "params"))
+@partial(jax.jit, static_argnames=("residual_fn", "params", "ee_goal_terms"))
 def gpmp2_solve(residual_fn: Callable, theta0, start_state, goal_state,
-                params: GPMP2Params) -> GPMP2Result:
+                params: GPMP2Params,
+                ee_goal_terms: Callable = None) -> GPMP2Result:
     """Run ``opt_iters`` Gauss-Newton iterations (fixed count under jit).
 
     theta0: (..., H, 2d) initial trajectories (e.g. from gpmp2_init_trajs).
+    ee_goal_terms: optional task-space goal factor (solve.ee_goal).
     """
     def step(theta, _):
         theta_next, cost = gpmp2_step(residual_fn, theta, start_state,
-                                      goal_state, params)
+                                      goal_state, params, ee_goal_terms)
         return theta_next, cost
 
     theta, cost_trace = jax.lax.scan(step, theta0, None,
