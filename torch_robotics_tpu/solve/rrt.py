@@ -71,14 +71,21 @@ def rrt_connect(task, start_q, goal_q,
     if len(samples) == 0:
         return None
 
-    # two trees: (nodes, parents); tree A roots at start, tree B at goal
-    trees = [{"nodes": [start], "parents": [-1]},
-             {"nodes": [goal], "parents": [-1]}]
+    # two trees: (nodes, parents); tree A roots at start, tree B at goal.
+    # nearest-neighbor queries go through the native kd-tree
+    # (torch_robotics_tpu/native/kdtree.cpp) with a numpy fallback.
+    from ..native import KdTree
+
+    def new_tree(root):
+        kt = KdTree(d)
+        kt.insert(root)
+        return {"nodes": [root], "parents": [-1], "kd": kt}
+
+    trees = [new_tree(start), new_tree(goal)]
 
     def nearest(tree, q):
-        nodes = np.asarray(tree["nodes"])
-        i = int(np.argmin(np.linalg.norm(nodes - q, axis=-1)))
-        return i, nodes[i]
+        i = tree["kd"].nearest(q)
+        return i, tree["nodes"][i]
 
     def steer(q_near, q_target):
         delta = q_target - q_near
@@ -96,6 +103,7 @@ def rrt_connect(task, start_q, goal_q,
             return "trapped", -1
         tree["nodes"].append(q_new)
         tree["parents"].append(i_near)
+        tree["kd"].insert(q_new)
         status = ("reached"
                   if np.linalg.norm(q_new - q_target) < 1e-6 else "advanced")
         return status, len(tree["nodes"]) - 1
