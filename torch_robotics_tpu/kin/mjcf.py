@@ -33,9 +33,10 @@ def parse_mjcf(path) -> UrdfRobot:
         name = body.name or f"body_{len(links)}"
         links.append(UrdfLink(name=name))
         body_pos = tuple(body.pos) if body.pos is not None else (0.0, 0.0, 0.0)
-        body_joints = body.joint if isinstance(body.joint, list) else (
-            [body.joint] if body.joint is not None else [])
-        body_joints = [j for j in body_joints if j is not None]
+        try:
+            body_joints = [j for j in body.joint if j is not None]
+        except TypeError:
+            body_joints = [body.joint] if body.joint is not None else []
         if not body_joints:
             joints.append(UrdfJoint(
                 name=f"{name}_fixed", type="fixed", parent=parent_name,
