@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.envs import EnvGridCircles2D
+from torch_robotics_tpu.robots import RobotPointMass
+from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+from torch_robotics_tpu.solve.mpot import (MPOTParams, mpot_solve,
+                                           polytope_vertices)
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+def test_polytope_vertices():
+    cube = polytope_vertices(2, "cube")
+    assert cube.shape == (4, 2)
+    np.testing.assert_allclose(np.linalg.norm(cube, axis=-1), 1.0, atol=1e-6)
+    ortho = polytope_vertices(14, "cube")  # falls back to orthoplex
+    assert ortho.shape == (28, 14)
+
+
+def test_mpot_params_from_preset():
+    env = EnvGridCircles2D()
+    robot = RobotPointMass.create()
+    preset = env.get_mpot_params(robot)
+    params = MPOTParams.from_preset(preset)
+    assert params.step_radius == pytest.approx(0.038)
+    assert params.polytope == "cube"
+    assert params.reg == pytest.approx(0.01)
+    assert params.num_probe == 5
+
+
+def test_mpot_improves_trajectories():
+    env = EnvGridCircles2D()
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    preset = env.get_mpot_params(robot)
+    params = MPOTParams.from_preset({**preset, "opt_iters": 60,
+                                     "sigma_start": 1e-3,
+                                     "sigma_goal": 1e-3})
+
+    d = robot.q_dim
+
+    def state_cost(theta):
+        return task._compute_cost(theta[..., :d])
+
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = jnp.tile(straight_line_trajs(start, goal, 64)[None], (4, 1, 1))
+    res = mpot_solve(state_cost, theta0, start, goal, params)
+    assert res.trajs.shape == theta0.shape
+    assert bool(jnp.isfinite(res.trajs).all())
+    # endpoints stay pinned
+    np.testing.assert_allclose(res.trajs[:, 0, :2],
+                               np.tile([-0.9, -0.9], (4, 1)), atol=0.05)
+    np.testing.assert_allclose(res.trajs[:, -1, :2],
+                               np.tile([0.9, 0.9], (4, 1)), atol=0.05)
+    # the collision cost of the trajectory decreased vs the straight line
+    c0 = float(state_cost(theta0).sum())
+    cF = float(state_cost(res.trajs).sum())
+    assert cF < c0

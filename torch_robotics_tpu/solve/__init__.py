@@ -10,3 +10,4 @@ from .mpc import MPCParams, MPCState, mpc_init, mpc_rollout, mpc_step
 from .rrt import RRTConnectParams, rrt_connect
 from .ee_goal import make_ee_goal_terms
 from .btridiag_lanes import block_tridiag_solve_lanes
+from .mpot import MPOTParams, MPOTResult, mpot_solve
