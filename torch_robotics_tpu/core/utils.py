@@ -101,6 +101,17 @@ def euclidean_distance(x_batch, x_target, w_pos=1.0, normalized_input=False):
     return w_pos * jnp.linalg.norm(x_batch - x_target, axis=-1)
 
 
+def is_positive_semi_definite(mat) -> bool:
+    """Host-side PSD check (torch_utils/torch_utils.py:147-149)."""
+    m = np.asarray(mat)
+    return bool(np.allclose(m, m.T) and (np.linalg.eigvals(m).real >= 0).all())
+
+
+def is_positive_definite(mat) -> bool:
+    m = np.asarray(mat)
+    return bool(np.allclose(m, m.T) and (np.linalg.eigvals(m).real > 0).all())
+
+
 def torch_intersect_1d(a, b):
     """Intersection of two 1-D integer arrays (host-side, data-dependent
     shape; mirrors torch_utils/torch_utils.py:156-159)."""
