@@ -98,3 +98,16 @@ def test_trajs_split(task_pm):
     intensity = task_pm.compute_collision_intensity_trajs(trajs)
     assert 0.0 <= intensity <= 1.0
     assert task_pm.compute_success_free_trajs(trajs) in (0, 1)
+
+
+def test_extra_objects_cost():
+    from torch_robotics_tpu.envs import EnvDense2DExtraObjects
+    env = EnvDense2DExtraObjects()
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    assert len(task.get_collision_fields_extra_objects()) == 1
+    x = jnp.array([[-0.4, 0.1], [0.9, 0.9]])  # first is inside an extra sphere
+    cost = task.compute_collision_cost_extra_objects(x)
+    assert float(cost[0]) > float(cost[1])
+    # total cost includes the extra objects (df list has fixed + extra)
+    assert len(task.df_obj_list) == 2

@@ -229,6 +229,30 @@ class PlanningTask:
         """x: (..., d_state) states -> per-waypoint sdf cost (...)."""
         return self._cost_fn(self.robot.get_position(x))
 
+    def compute_collision_cost_extra_objects(self, x):
+        """Cost against the extra (movable) objects only — the separate field
+        the reference builds for planners that treat dynamic obstacles
+        independently (tasks.py:60-72)."""
+        if not self.df_extra_list:
+            return jnp.zeros(x.shape[:-1], x.dtype)
+        q = self.robot.get_position(x)
+        obj_pts, _ = self._collision_points(q)
+        return object_collision_cost(
+            self.df_extra_list, obj_pts, self.robot.object_margins,
+            cutoff_margin=self.obstacle_cutoff_margin,
+            clamp=self.clamp_sdf_cost)
+
+    def get_collision_fields(self):
+        """Reference-compatible accessor (tasks.py:88-92): the distance-field
+        object lists backing the task's cost terms."""
+        return {"self": (np.asarray(self.robot.self_pair_idxs)
+                         if self.robot.self_pair_idxs is not None else None),
+                "objects": self.df_obj_list,
+                "ws_bounds": (self.ws_min, self.ws_max)}
+
+    def get_collision_fields_extra_objects(self):
+        return self.df_extra_list
+
     def compute_collision(self, x, margin=None):
         """x: (..., d_state) states -> per-waypoint collision flags (...)."""
         q = self.robot.get_position(x)
