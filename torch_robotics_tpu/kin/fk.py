@@ -12,7 +12,6 @@ defaults to bf16 inputs otherwise).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -20,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.se3 import axis_angle_rotation, pack_homogeneous
-from .model import JOINT_FIXED, KinematicModel
+from .model import KinematicModel
 
 __all__ = [
     "local_joint_transforms", "fk_rot_trans", "fk_all_links",

@@ -22,14 +22,13 @@ Semantics parity with the reference FK:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.se3 import axis_angle_rotation, rpy_to_rotation_matrix
+from ..core.se3 import rpy_to_rotation_matrix
 from ..geom.sdf import _pytree_dataclass, static_field
 from .urdf import UrdfRobot, parse_urdf
 

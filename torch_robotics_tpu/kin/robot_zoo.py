@@ -8,7 +8,6 @@ the URDF on disk (reference: models/robots.py:24-53).
 """
 from __future__ import annotations
 
-from typing import Optional
 
 from ..utils.files import get_robot_path
 from .model import KinematicModel

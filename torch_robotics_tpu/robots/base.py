@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..costs.fields import interpolate_points
-from ..geom.sdf import _pytree_dataclass, static_field
 
 __all__ = ["RobotAPI", "build_self_collision_pairs", "build_object_margins"]
 

@@ -4,7 +4,6 @@ Mirrors /root/reference/torch_robotics/visualizers/plot_utils.py:8-32.
 """
 from __future__ import annotations
 
-import numpy as np
 
 from ..core.utils import to_numpy
 
