@@ -194,7 +194,9 @@ def config_pod_scale(small: bool):
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
     mesh = make_mesh()
     n_dev = mesh.devices.size
-    B = (16 * n_dev) if small else 32768
+    # 32k scenarios across a pod; cap the per-device share by HBM (the full
+    # 32k needs >= 4 chips)
+    B = (16 * n_dev) if small else min(32768, 8192 * n_dev)
     B = (B // n_dev) * n_dev
     steps = 2 if small else 8
     d = robot.q_dim

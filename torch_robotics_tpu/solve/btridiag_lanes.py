@@ -126,19 +126,22 @@ def solve_lanes_core(Dt, Ut, bt):
         W_k = _trsm_lower_lanes(L_k, U_k)
         S_next = _matmul_T_lanes(W_k, W_k)
         Wy_next = _matvec_T_lanes(W_k, y_k)
-        return (S_next, Wy_next), (L_k, W_k, y_k)
+        # W is NOT stacked — the backward pass recomputes it from (L, U),
+        # saving the largest (H, m, m, B) HBM buffer
+        return (S_next, Wy_next), (L_k, y_k)
 
     # initial carries derived from operands (shard_map vma tracking)
     S0 = jnp.zeros_like(Dt[0])
     Wy0 = jnp.zeros_like(bt[0])
-    _, (L, W, y) = jax.lax.scan(fwd, (S0, Wy0), (Dt, Ut, bt))
+    _, (L, y) = jax.lax.scan(fwd, (S0, Wy0), (Dt, Ut, bt))
 
     def bwd(x_next, inp):
-        L_k, W_k, y_k = inp
+        L_k, U_k, y_k = inp
+        W_k = _trsm_lower_lanes(L_k, U_k)
         rhs = y_k - _matvec_lanes(W_k, x_next)
         x_k = _trsv_upper_lanes(L_k, rhs)
         return x_k, x_k
 
     x0 = jnp.zeros_like(bt[0])
-    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], W[::-1], y[::-1]))
+    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], Ut[::-1], y[::-1]))
     return x_rev[::-1]                                # (H, m, B)
