@@ -115,13 +115,17 @@ def config_panda(small: bool):
     robot = RobotPanda.create()
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
     B = 64 if small else 4096
-    q_goal = jnp.array([0.3, -0.4, 0.2, -1.6, 0.1, 1.3, 0.0])
-    H_target = fk_all_links(robot.model, q_goal, link_list=["ee_link"])[0]
+    # collision-free start/goal configurations (margin-respecting)
+    starts_q, _ = task.random_coll_free_q(jax.random.PRNGKey(10),
+                                          n_samples=1, max_samples=4096)
+    goal_q, _ = task.random_coll_free_q(jax.random.PRNGKey(11),
+                                        n_samples=1, max_samples=4096)
+    H_target = fk_all_links(robot.model, goal_q, link_list=["ee_link"])[0]
     ee_terms = make_ee_goal_terms(robot, H_target, sigma_ee=1e-3, w_rot=0.2)
-    start = jnp.concatenate([jnp.zeros(7), jnp.zeros(7)])
-    goal = jnp.concatenate([q_goal, jnp.zeros(7)])
+    start = jnp.concatenate([starts_q, jnp.zeros(7)])
+    goal = jnp.concatenate([goal_q, jnp.zeros(7)])
     params = GPMP2Params(n_support_points=64, dt=0.04,
-                         opt_iters=30 if small else 100,
+                         opt_iters=30 if small else 150,
                          sigma_start=1e-3, sigma_gp=1e-1,
                          sigma_goal_prior=1e-2, sigma_coll=5e-4,
                          step_size=0.8)

@@ -147,3 +147,13 @@ def test_grasped_object_link(panda):
     H_hand = fk_all_links(model, q, link_list=["panda_hand"])
     offset_world = H[0, 0, :3, 3] - H_hand[0, 0, :3, 3]
     np.testing.assert_allclose(jnp.linalg.norm(offset_world), 0.11, atol=1e-5)
+
+
+def test_stretch_fk_golden_prismatic():
+    """Habitat Stretch mixes revolute/prismatic/continuous joints —
+    prismatic-joint parity with the reference FK."""
+    g = load_golden("stretch_fk")
+    model = robot_zoo.habitat_stretch()
+    assert list(model.link_names) == list(g["link_names"])
+    H = fk_all_links(model, jnp.asarray(g["q"]))
+    np.testing.assert_allclose(H, g["link_tensor"], atol=2e-5)

@@ -228,6 +228,18 @@ def main():
         "link_tensor": link_tensor_u.tolist(),
     })
 
+    # Habitat Stretch: mixed revolute/prismatic/continuous joints
+    from torch_robotics.torch_kinematics_tree.models.robots import (
+        DifferentiableHabitatStretch)
+    stretch = DifferentiableHabitatStretch(device="cpu")
+    q_s = torch.tensor(rng.uniform(-0.5, 0.5,
+                                   size=(6, stretch._n_dofs)).astype(np.float32))
+    dump("stretch_fk", {
+        "q": q_s.tolist(),
+        "link_names": stretch.get_link_names(),
+        "link_tensor": stretch.compute_forward_kinematics_all_links(q_s).tolist(),
+    })
+
     # ------------------------------------------------------------------
     # 5. Panda task costs in EnvSpheres3D (full embodied pipeline)
     # ------------------------------------------------------------------
