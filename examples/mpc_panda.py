@@ -38,6 +38,7 @@ if __name__ == "__main__":
           f"{float(dist.mean()):.3f} rad, "
           f"{int((dist < 0.2).sum())}/{B} within 0.2 rad")
 
-    coll = task.compute_collision(xs)
+    # contact check at margin 0 (actual penetration, not the safety margins)
+    coll = task.compute_collision(xs, margin=0.0)
     frac = float(jnp.mean(jnp.any(coll, axis=-1)))
-    print(f"{(1 - frac) * 100:.0f}% of executed rollouts collision-free")
+    print(f"{(1 - frac) * 100:.0f}% of executed rollouts contact-free")
