@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 __all__ = ["block_tridiag_solve_lanes"]
 
+# loop-unroll factor for the sequential sweeps (amortizes per-step dispatch)
+_SCAN_UNROLL = 1  # >1 multiplies the already-unrolled body; compile cost outweighs dispatch savings
+
 
 def _chol_lanes(A):
     """Unrolled Cholesky of (m, m, B): returns lower L with L @ L^T = A."""
@@ -133,7 +136,7 @@ def solve_lanes_core(Dt, Ut, bt):
     # initial carries derived from operands (shard_map vma tracking)
     S0 = jnp.zeros_like(Dt[0])
     Wy0 = jnp.zeros_like(bt[0])
-    _, (L, y) = jax.lax.scan(fwd, (S0, Wy0), (Dt, Ut, bt))
+    _, (L, y) = jax.lax.scan(fwd, (S0, Wy0), (Dt, Ut, bt), unroll=_SCAN_UNROLL)
 
     def bwd(x_next, inp):
         L_k, U_k, y_k = inp
@@ -143,5 +146,5 @@ def solve_lanes_core(Dt, Ut, bt):
         return x_k, x_k
 
     x0 = jnp.zeros_like(bt[0])
-    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], Ut[::-1], y[::-1]))
+    _, x_rev = jax.lax.scan(bwd, x0, (L[::-1], Ut[::-1], y[::-1]), unroll=_SCAN_UNROLL)
     return x_rev[::-1]                                # (H, m, B)
