@@ -80,3 +80,18 @@ def test_gpmp2_straight_line_stays_when_free(setup):
                          goal_state, params)
     # x stays near -0.95 the whole way
     assert float(jnp.abs(result.trajs[..., 0] + 0.95).max()) < 0.1
+
+
+def test_gpmp2_long_horizon(setup):
+    """Horizon scaling: H=256 solves through the same scan machinery."""
+    env, robot, task, params = setup
+    params = GPMP2Params(**{**params.__dict__, "n_support_points": 256,
+                            "opt_iters": 10, "num_samples": 2})
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(3), params, start, goal)
+    assert theta0.shape == (2, 256, 4)
+    res = gpmp2_solve(task.collision_residuals, theta0, start, goal, params)
+    assert bool(jnp.isfinite(res.trajs).all())
+    np.testing.assert_allclose(res.trajs[:, 0, :2],
+                               jnp.tile(start[:2], (2, 1)), atol=5e-2)

@@ -8,6 +8,7 @@ as (R, t) pairs (preferred inside kernels, avoids the wasted 4th row) or as
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,8 +123,13 @@ def transform_point(point, rot, trans):
 
 
 def rotate_point(point, rot):
-    """point @ R^T in row-vector form (geometrics/utils.py:38-40)."""
-    return jnp.matmul(point[..., None, :], jnp.swapaxes(rot, -1, -2))[..., 0, :]
+    """point @ R^T in row-vector form (geometrics/utils.py:38-40).
+
+    HIGHEST precision: bf16 MXU inputs cost ~4e-3 absolute on transformed
+    SDF queries, breaking the 1e-3 parity budget.
+    """
+    return jnp.matmul(point[..., None, :], jnp.swapaxes(rot, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)[..., 0, :]
 
 
 def pack_homogeneous(rot, trans):
