@@ -11,3 +11,4 @@ from .rrt import RRTConnectParams, rrt_connect
 from .ee_goal import make_ee_goal_terms
 from .btridiag_lanes import block_tridiag_solve_lanes
 from .mpot import MPOTParams, MPOTResult, mpot_solve
+from .hybrid import plan_hybrid

@@ -1,0 +1,73 @@
+"""Hybrid planning: sampling-based initialization + gradient refinement.
+
+The reference's intended workflow (its envs ship BOTH RRT-Connect and GPMP2
+presets): find a coarse collision-free path with RRT-Connect, smooth it onto
+the support points with the clamped cubic spline, then refine with batched
+GPMP2.  This module composes those stages.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..trajectory.utils import smoothen_trajectory
+from .gpmp2 import GPMP2Params, GPMP2Result, gpmp2_solve
+from .rrt import RRTConnectParams, rrt_connect
+
+__all__ = ["plan_hybrid"]
+
+
+def plan_hybrid(task, start_q, goal_q,
+                gpmp2_params: Optional[GPMP2Params] = None,
+                rrt_params: Optional[RRTConnectParams] = None,
+                num_samples: int = 8, noise_scale: float = 0.02,
+                key=None):
+    """RRT-Connect -> spline smoothing -> batched GPMP2 refinement.
+
+    Returns (GPMP2Result, rrt_path or None).  If RRT fails, refinement starts
+    from the straight line.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if gpmp2_params is None:
+        gpmp2_params = GPMP2Params.from_preset(
+            task.env.get_gpmp2_params(task.robot))
+    if rrt_params is None:
+        try:
+            rrt_params = RRTConnectParams.from_preset(
+                task.env.get_rrt_connect_params(task.robot))
+        except NotImplementedError:
+            rrt_params = RRTConnectParams()
+
+    start_q = jnp.asarray(start_q)
+    goal_q = jnp.asarray(goal_q)
+    d = start_q.shape[-1]
+    H = gpmp2_params.n_support_points
+
+    path = rrt_connect(task, np.asarray(start_q), np.asarray(goal_q),
+                       rrt_params, key=key)
+    if path is not None:
+        pos, vel = smoothen_trajectory(
+            jnp.asarray(path), n_support_points=H, dt=gpmp2_params.dt,
+            set_average_velocity=True)
+        theta_init = jnp.concatenate([pos, vel], axis=-1)
+    else:
+        from .gp_prior import straight_line_trajs
+        theta_init = straight_line_trajs(
+            jnp.concatenate([start_q, jnp.zeros(d)]),
+            jnp.concatenate([goal_q, jnp.zeros(d)]), H)
+
+    # jitter copies of the seed for a diverse refinement batch
+    noise = (jax.random.normal(key, (num_samples, H, 2 * d),
+                               theta_init.dtype) * noise_scale)
+    ramp = jnp.minimum(jnp.linspace(0, 1, H), jnp.linspace(1, 0, H))
+    theta0 = theta_init[None] + noise * ramp[:, None]
+
+    start_state = jnp.concatenate([start_q, jnp.zeros(d)])
+    goal_state = jnp.concatenate([goal_q, jnp.zeros(d)])
+    result = gpmp2_solve(task.collision_residuals, theta0, start_state,
+                         goal_state, gpmp2_params)
+    return result, path
