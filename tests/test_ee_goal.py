@@ -76,3 +76,27 @@ def test_gpmp2_reaches_cartesian_target(setup):
     _, _, err0 = terms_pose(theta0[0, -1, :7])
     _, _, errF = terms_pose(res_pose.trajs[0, -1, :7])
     assert float(errF) < 0.5 * float(err0)
+
+
+def test_mpc_with_ee_goal(setup):
+    """Cartesian-goal receding-horizon MPC: the EE converges to the target
+    position without a config-space goal."""
+    robot, task = setup
+    from torch_robotics_tpu.solve import GPMP2Params
+    from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
+    q_goal = jnp.array([0.3, -0.4, 0.2, -1.6, 0.1, 1.3, 0.0])
+    H_target = fk_all_links(robot.model, q_goal, link_list=["ee_link"])[0]
+    terms = make_ee_goal_terms(robot, H_target, sigma_ee=2e-4, w_rot=0.0)
+    B = 4
+    start = jnp.tile(jnp.concatenate([jnp.zeros(7), jnp.zeros(7)]), (B, 1))
+    goal = start  # config goal unused (weak prior)
+    gp = GPMP2Params(n_support_points=16, dt=0.05, sigma_start=1e-3,
+                     sigma_gp=2e-1, sigma_goal_prior=1e3, sigma_coll=1e0,
+                     step_size=0.7, solver_delta=1e-2)
+    params = MPCParams(gpmp2=gp, iters_per_step=3)
+    xs, info = mpc_rollout(task.collision_residuals, start, goal, params,
+                           n_steps=25, ee_goal_terms=terms)
+    q_final = xs[:, -1, :7]
+    H_final = fk_all_links(robot.model, q_final, link_list=["ee_link"])
+    pos_err = jnp.linalg.norm(H_final[:, 0, :3, 3] - H_target[:3, 3], axis=-1)
+    assert float(pos_err.max()) < 0.1, f"EE errors {np.asarray(pos_err)}"
