@@ -1,6 +1,8 @@
 """Benchmark: Panda MPC solves/s on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+first, then a second JSON line with the FK-rollouts/s/chip protocol metric
+(BASELINE.md measurement protocol).
 
 Protocol (BASELINE.md): a "solve" is one receding-horizon MPC re-optimization
 of an H=64, 7-DoF Panda trajectory with sphere-SDF collision costs
@@ -86,6 +88,30 @@ def main():
         "value": round(best, 1),
         "unit": "solves/s/chip (B=%d, H=%d, 2 GN iters/solve)" % (B, H),
         "vs_baseline": round(best / TARGET_PER_CHIP, 2),
+    }))
+
+    # second protocol metric: FK rollouts/s/chip (BASELINE.md)
+    from torch_robotics_tpu.kin.fk import fk_rot_trans
+    B_fk = 65536
+    q = jax.random.uniform(jax.random.PRNGKey(1), (B_fk, d),
+                           minval=robot.q_min, maxval=robot.q_max)
+
+    @jax.jit
+    def fk_batch(q):
+        _, t = fk_rot_trans(robot.model, q)
+        return t
+
+    jax.block_until_ready(fk_batch(q))
+    best_fk = 0.0
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fk_batch(q))
+        best_fk = max(best_fk, B_fk / (time.perf_counter() - t0))
+    print(json.dumps({
+        "metric": "panda_fk_rollouts_per_s_per_chip",
+        "value": round(best_fk, 0),
+        "unit": "FK rollouts/s/chip (B=%d)" % B_fk,
+        "vs_baseline": None,
     }))
 
 

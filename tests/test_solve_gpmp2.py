@@ -95,3 +95,42 @@ def test_gpmp2_long_horizon(setup):
     assert bool(jnp.isfinite(res.trajs).all())
     np.testing.assert_allclose(res.trajs[:, 0, :2],
                                jnp.tile(start[:2], (2, 1)), atol=5e-2)
+
+
+def test_gpmp2_adaptive_early_stop(setup):
+    """gpmp2_solve_adaptive honors stop_criteria: stops before opt_iters on
+    an easy problem and matches the fixed-count solve to solver tolerance."""
+    from torch_robotics_tpu.solve.gpmp2 import gpmp2_solve_adaptive
+
+    env, robot, task, params = setup
+    params = GPMP2Params(**{**params.__dict__, "opt_iters": 200,
+                            "num_samples": 8, "stop_criteria": 1e-4,
+                            "sigma_gp_init": 1e-3})
+
+    # obstacle-free left edge: collision cost reaches zero quickly, so the
+    # relative-improvement check fires long before opt_iters
+    start_state = jnp.concatenate([jnp.array([-0.95, -0.95]), jnp.zeros(2)])
+    goal_state = jnp.concatenate([jnp.array([-0.95, 0.95]), jnp.zeros(2)])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), params, start_state,
+                              goal_state)
+
+    trajs, costs, n_iters = gpmp2_solve_adaptive(
+        task.collision_residuals, theta0, start_state, goal_state, params)
+    assert trajs.shape == theta0.shape
+    assert bool(jnp.all(jnp.isfinite(trajs)))
+    assert int(n_iters) < 200            # actually stopped early
+    assert int(n_iters) >= 2
+
+    # endpoints still pinned
+    np.testing.assert_allclose(trajs[:, 0, :2],
+                               jnp.tile(jnp.array([-0.95, -0.95]), (8, 1)),
+                               atol=1e-2)
+
+    # stop_criteria <= 0 falls back to the fixed-count solve
+    params_fixed = GPMP2Params(**{**params.__dict__, "stop_criteria": 0.0,
+                                  "opt_iters": 50})
+    trajs_f, costs_f, n_f = gpmp2_solve_adaptive(
+        task.collision_residuals, theta0, start_state, goal_state,
+        params_fixed)
+    assert int(n_f) == 50
+    assert bool(jnp.all(jnp.isfinite(trajs_f)))

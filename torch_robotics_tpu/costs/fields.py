@@ -29,7 +29,7 @@ import numpy as np
 from ..core.se3 import SE3_distance
 
 __all__ = [
-    "interpolate_points", "object_signed_distances",
+    "interpolate_points", "interpolate_points_v2", "object_signed_distances",
     "object_collision_cost", "object_collision_any",
     "self_collision_distances", "self_collision_cost", "self_collision_any",
     "workspace_bounds_distances", "workspace_bounds_cost",
@@ -55,6 +55,33 @@ def interpolate_points(points, num_interpolated_points: int):
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, P - 2)
     frac = (pos - i0.astype(points.dtype))[..., None]
     return points[..., i0, :] * (1.0 - frac) + points[..., i0 + 1, :] * frac
+
+
+def interpolate_points_v2(points, num_interpolate: int,
+                          link_interpolate_range):
+    """Append points interpolated between consecutive links of a range.
+
+    jnp equivalent of the reference ``interpolate_points_v2``
+    (distance_fields.py:73-82): for links in
+    ``link_interpolate_range=[lo, hi]`` (inclusive), insert
+    ``num_interpolate`` evenly spaced interior points on each segment
+    between consecutive link positions, concatenated after the originals.
+    points: (..., P, d) -> (..., P + (hi - lo) * num_interpolate, d)
+    """
+    if num_interpolate <= 0:
+        return points
+    lo, hi = link_interpolate_range
+    alpha = jnp.linspace(0.0, 1.0, num_interpolate + 2,
+                         dtype=points.dtype)[1:num_interpolate + 1]
+    X = points[..., lo:hi + 1, :]                     # (..., L, d)
+    X_diff = X[..., 1:, :] - X[..., :-1, :]           # (..., L-1, d)
+    #  (..., L-1, num_interpolate, d)
+    X_interp = (X[..., :-1, None, :]
+                + X_diff[..., None, :] * alpha[:, None])
+    flat = X_interp.reshape(X_interp.shape[:-3]
+                            + (X_interp.shape[-3] * num_interpolate,
+                               points.shape[-1]))
+    return jnp.concatenate([points, flat], axis=-2)
 
 
 # ----------------------------------------------------------------------------

@@ -41,8 +41,17 @@ class OccupancyMap:
         idx = jnp.clip(idx, 0, max_idx)
         return self.map[tuple(jnp.moveaxis(idx, -1, 0))]
 
-    def compute_distances(self, x, occupied_points):
-        """Euclidean distances from x to precomputed occupied cell centers."""
+    def compute_distances(self, x, occupied_points=None):
+        """Euclidean distances from x to occupied cell centers.
+
+        Mirrors the reference ``OccupancyMap.compute_distances``
+        (occupancy_map.py:131-143): when ``occupied_points`` is omitted the
+        occupied cells are computed here (host-side ``nonzero`` — the result
+        shape is data-dependent, so like the reference this path is eager;
+        pass precomputed points for use under jit).
+        """
+        if occupied_points is None:
+            occupied_points = jnp.asarray(self.occupied_points(), x.dtype)
         return jnp.linalg.norm(x[..., None, :] - occupied_points, axis=-1)
 
     def occupied_points(self):

@@ -24,7 +24,7 @@ from .btridiag_lanes import block_tridiag_solve_lanes
 from .gp_prior import gp_prior_terms, sample_gp_prior_trajs, straight_line_trajs
 
 __all__ = ["GPMP2Params", "GPMP2Result", "gpmp2_init_trajs", "gpmp2_solve",
-           "gpmp2_step"]
+           "gpmp2_solve_adaptive", "gpmp2_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,3 +223,46 @@ def gpmp2_solve(residual_fn: Callable, theta0, start_state, goal_state,
                                      length=params.opt_iters)
     return GPMP2Result(trajs=theta, costs=cost_trace[-1],
                        cost_trace=cost_trace)
+
+
+@partial(jax.jit, static_argnames=("residual_fn", "params", "ee_goal_terms"))
+def gpmp2_solve_adaptive(residual_fn: Callable, theta0, start_state,
+                         goal_state, params: GPMP2Params,
+                         ee_goal_terms: Callable = None):
+    """Gauss-Newton with early exit on ``stop_criteria``.
+
+    Runs at most ``opt_iters`` iterations, stopping as soon as every
+    trajectory's relative cost improvement drops below
+    ``params.stop_criteria`` (the check the reference presets carry as
+    ``stop_criteria``; a fixed-count scan cannot honor it — this variant
+    uses ``lax.while_loop`` and actually skips the remaining iterations,
+    which is where MPC warm starts win).  Falls back to the fixed-count
+    solve when ``stop_criteria <= 0``.
+
+    Returns (trajs, costs, n_iters_run).
+    """
+    if params.stop_criteria <= 0.0:
+        res = gpmp2_solve(residual_fn, theta0, start_state, goal_state,
+                          params, ee_goal_terms)
+        return res.trajs, res.costs, jnp.asarray(params.opt_iters)
+
+    def cond(state):
+        i, _, cost_prev, cost = state
+        rel = jnp.abs(cost_prev - cost) / jnp.maximum(jnp.abs(cost_prev),
+                                                      1e-10)
+        return (i < params.opt_iters) & jnp.any(rel > params.stop_criteria)
+
+    def body(state):
+        i, theta, _, cost = state
+        theta_next, cost_next = gpmp2_step(residual_fn, theta, start_state,
+                                           goal_state, params, ee_goal_terms)
+        return i + 1, theta_next, cost, cost_next
+
+    # finite sentinels force the first two iterations (inf - inf would NaN
+    # the relative-improvement check and exit immediately)
+    batch = theta0.shape[:-2]
+    state0 = (jnp.asarray(0), theta0,
+              jnp.full(batch, 1e10, theta0.dtype),
+              jnp.zeros(batch, theta0.dtype))
+    n_iters, theta, _, cost = jax.lax.while_loop(cond, body, state0)
+    return theta, cost, n_iters
