@@ -1,0 +1,99 @@
+"""Planner-quality benchmark: MPOT vs GPMP2 on EnvGridCircles2D.
+
+Runs both planners at their reference preset budgets
+(env.get_mpot_params / env.get_gpmp2_params,
+/root/reference/torch_robotics/environments/env_grid_circles_2d.py:64-119)
+from the same GP-prior initializations, and reports fraction of
+collision-free trajectories, smoothness, and path length.
+
+Run: python benchmarks/mpot_vs_gpmp2.py [--small]
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/trt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def trajectory_metrics(task, trajs):
+    from torch_robotics_tpu.trajectory.metrics import (compute_path_length,
+                                                       compute_smoothness)
+    frac_free = task.compute_fraction_free_trajs(trajs)
+    pl = float(compute_path_length(trajs, task.robot).mean())
+    sm = float(compute_smoothness(trajs, task.robot).mean())
+    return {"fraction_free": round(frac_free, 3),
+            "path_length": round(pl, 3), "smoothness": round(sm, 3)}
+
+
+def main(small=False):
+    from torch_robotics_tpu.envs import EnvGridCircles2D
+    from torch_robotics_tpu.robots import RobotPointMass
+    from torch_robotics_tpu.solve import (GPMP2Params, gpmp2_init_trajs,
+                                          gpmp2_solve)
+    from torch_robotics_tpu.solve.mpot import MPOTParams, mpot_solve
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    env = EnvGridCircles2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    d = robot.q_dim
+    B = 16 if small else 64
+    H = 64
+
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+
+    # same initialization family for both planners (GP prior samples at the
+    # preset's sigma_gp_init)
+    mpot_preset = env.get_mpot_params(robot)
+    gp_preset = env.get_gpmp2_params(robot)
+    gpmp2_params = GPMP2Params.from_preset(gp_preset)
+    gpmp2_params = GPMP2Params(**{**gpmp2_params.__dict__,
+                                  "num_samples": B})
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), gpmp2_params,
+                              start, goal)
+
+    results = {}
+
+    # --- GPMP2 at its preset budget ---
+    t0 = time.perf_counter()
+    res = gpmp2_solve(task.collision_residuals, theta0, start, goal,
+                      gpmp2_params)
+    jax.block_until_ready(res.trajs)
+    results["gpmp2"] = {
+        **trajectory_metrics(task, res.trajs),
+        "opt_iters": gpmp2_params.opt_iters,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+
+    # --- MPOT at its preset budget, both couplings ---
+    def state_cost(theta):
+        return task._compute_cost(theta[..., :d])
+
+    for coupling in ("full", "trajectory"):
+        params = MPOTParams.from_preset(
+            {**mpot_preset, "sigma_start": 1e-3, "sigma_goal": 1e-3})
+        params = MPOTParams(**{**params.__dict__, "coupling": coupling})
+        t0 = time.perf_counter()
+        res_m = mpot_solve(state_cost, theta0, start, goal, params)
+        jax.block_until_ready(res_m.trajs)
+        results[f"mpot_{coupling}"] = {
+            **trajectory_metrics(task, res_m.trajs),
+            "opt_iters": params.opt_iters,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+
+    print(json.dumps(results, indent=1))
+    return results
+
+
+if __name__ == "__main__":
+    main(small="--small" in sys.argv)

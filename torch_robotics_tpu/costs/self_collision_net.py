@@ -103,7 +103,11 @@ def fit_self_collision_net(key, robot, n_samples: int = 20000,
     """Train a SelfCollisionNet on FK-derived min pair distances.
 
     Labels: raw = -(min pair distance) so positive means penetrating, matching
-    the STORM convention.  Returns (net, final_loss).
+    the STORM convention (the reference loads storm_kit's pretrained
+    ``franka_self_sdf.pt``, which is not shipped with it — this trains the
+    same q -> min-self-distance regressor against our collision model).
+    Each epoch is a full pass over the shuffled dataset (lax.scan over
+    minibatches).  Returns (net, final_loss).
     """
     import optax
 
@@ -123,6 +127,8 @@ def fit_self_collision_net(key, robot, n_samples: int = 20000,
     opt = optax.adam(lr)
     params = net.weights
     opt_state = opt.init(params)
+    n_batches = max(1, n_samples // batch_size)
+    n_used = n_batches * batch_size
 
     def loss_fn(weights, qb, yb):
         net_w = dataclasses.replace(net, weights=weights)
@@ -131,12 +137,20 @@ def fit_self_collision_net(key, robot, n_samples: int = 20000,
 
     @jax.jit
     def train_epoch(params, opt_state, key_e):
-        idx = jax.random.permutation(key_e, n_samples)[:batch_size]
-        qb, yb = qs[idx], labels[idx]
-        loss, g = jax.value_and_grad(loss_fn)(params, qb, yb)
-        updates, opt_state = opt.update(g, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        idx = jax.random.permutation(key_e, n_samples)[:n_used]
+        qb = qs[idx].reshape(n_batches, batch_size, -1)
+        yb = labels[idx].reshape(n_batches, batch_size)
+
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (qb, yb))
+        return params, opt_state, losses[-1]
 
     loss = jnp.inf
     for e in range(epochs):

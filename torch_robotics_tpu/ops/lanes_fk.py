@@ -302,6 +302,48 @@ def lanes_supported_scene(df_obj_list) -> bool:
     return all(isinstance(df, (ObjectField, GridSDF)) for df in df_obj_list)
 
 
+def _member_lanes_points(r, q_cols_i, Rb, tb):
+    """FK + world-frame transforms for one multi-robot member.
+
+    r: member robot (has .model); q_cols_i (d_i, N); Rb nested-tuple base
+    rotation; tb base translation tuple.  Returns (R_wW, t_wW) world link
+    frames, and the member's (obj_pts, self_pts, all link ids) in its
+    fk_map_collision layout.
+    """
+    R_w, t_w = fk_lanes(r.model, q_cols_i)
+    R_wW = [_matmul3(Rb, R) for R in R_w]
+    t_wW = []
+    for t in t_w:
+        tw = _matvec3(Rb, t)
+        t_wW.append(tuple(tw[k] + tb[k] for k in range(3)))
+
+    def grasped(section_ids):
+        pts_g, ids_g = [], []
+        if getattr(r, "grasped_n_points", 0) > 0:
+            gi = r.model.link_index(r.link_name_grasped_object)
+            for g in range(r.grasped_n_points):
+                gp = tuple(r.grasped_points[g, k] for k in range(3))
+                world = _matvec3(R_wW[gi], gp)
+                pts_g.append(tuple(world[k] + t_wW[gi][k] for k in range(3)))
+                ids_g.append(gi)
+        return pts_g, ids_g
+
+    obj_pts = [t_wW[li] for li in r.object_coll_idxs]
+    obj_ids = list(r.object_coll_idxs)
+    g_pts, g_ids = grasped(obj_ids)
+    obj_pts += g_pts
+    obj_ids += g_ids
+
+    self_pts, self_ids = [], []
+    if r.self_coll_idxs:
+        self_pts = [t_wW[li] for li in r.self_coll_idxs]
+        self_ids = list(r.self_coll_idxs)
+        g_pts, g_ids = grasped(self_ids)
+        self_pts += g_pts
+        self_ids += g_ids
+    return R_wW, t_wW, obj_pts, obj_ids, self_pts, self_ids
+
+
 def obstacle_terms_lanes_factory(task):
     """Build the lane-layout Gauss-Newton obstacle-terms function for a task.
 
@@ -312,6 +354,7 @@ def obstacle_terms_lanes_factory(task):
     """
     robot = task.robot
     from ..robots import RobotPanda, RobotPointMass
+    from ..robots.multi_robot import MultiRobot
     df_obj_list = task.df_obj_list
     cutoff = task.obstacle_cutoff_margin
     ws_min = task.ws_min
@@ -328,6 +371,41 @@ def obstacle_terms_lanes_factory(task):
                          for j in range(d)]]
             return pts, eye_cols, [0]
         ws_dim = d
+    elif isinstance(robot, MultiRobot):
+        # every member needs a compiled KinematicModel for the lanes FK
+        if not all(hasattr(r, "model") for r in robot.robots):
+            return None
+        members = robot.robots
+        d_offsets = np.cumsum([0] + [r.q_dim for r in members])
+
+        def pts_jac_fn(q_cols):
+            obj_pts, self_pts = [], []
+            obj_cols, self_cols = [], []
+            for i, r in enumerate(members):
+                lo, hi = int(d_offsets[i]), int(d_offsets[i + 1])
+                q_i = q_cols[lo:hi]
+                Rb = _scalar_mat3(robot.base_rots[i])
+                tb = tuple(robot.base_trans[i, k] for k in range(3))
+                (R_wW, t_wW, m_obj_pts, m_obj_ids,
+                 m_self_pts, m_self_ids) = _member_lanes_points(
+                    r, q_i, Rb, tb)
+                all_pts = m_obj_pts + m_self_pts
+                all_ids = m_obj_ids + m_self_ids
+                J_i = point_jacobians_lanes(r.model, R_wW, t_wW, all_pts,
+                                            all_ids, q_cols=q_i)
+                # embed member columns block-diagonally into d_total
+                pad_l = [None] * lo
+                pad_r = [None] * (d - hi)
+                J_full = [pad_l + cols + pad_r for cols in J_i]
+                n_obj = len(m_obj_pts)
+                obj_pts += m_obj_pts
+                obj_cols += J_full[:n_obj]
+                self_pts += m_self_pts
+                self_cols += J_full[n_obj:]
+            # fk_map_collision layout: [obj_0..obj_n, self_0..self_n]
+            return (obj_pts + self_pts, obj_cols + self_cols,
+                    list(range(len(obj_pts) + len(self_pts))))
+        ws_dim = 3
     elif isinstance(robot, RobotPanda):
         model = robot.model
         obj_idxs = list(robot.object_coll_idxs)
@@ -362,6 +440,16 @@ def obstacle_terms_lanes_factory(task):
         obj_pts_pos = [0]
         self_pts_pos = None
         grasped_pos = []
+    elif isinstance(robot, MultiRobot):
+        # the pts list IS the fk_map_collision layout; object points are the
+        # leading obj sections, and self_pair_idxs address the full layout
+        n_obj_total = sum(
+            int(r.object_margins.shape[0]) for r in robot.robots)
+        obj_pts_pos = list(range(n_obj_total))
+        n_self_total = sum(
+            (len(r.self_coll_idxs) + getattr(r, "grasped_n_points", 0))
+            if r.self_coll_idxs else 0 for r in robot.robots)
+        self_pts_pos = list(range(n_obj_total + n_self_total))
     else:
         used_links = sorted(set(list(robot.object_coll_idxs)
                                 + list(robot.self_coll_idxs or [])))
@@ -378,6 +466,11 @@ def obstacle_terms_lanes_factory(task):
 
     obj_margins = task.robot.object_margins
     self_margins = getattr(task.robot, "self_margins", None)
+    # learned self-collision net replaces the pair rows (robot_panda.py:131)
+    self_net = getattr(robot, "self_collision_net", None)
+    if self_net is not None:
+        self_pts_pos = None
+    net_cutoff = getattr(task, "_NET_SELF_CUTOFF", 0.001)
 
     obj_pts_pos_np = np.asarray(obj_pts_pos, np.int32)
 
@@ -455,6 +548,16 @@ def obstacle_terms_lanes_factory(task):
             Jr_s = -act[:, None, :] * jnp.einsum("kpn,pjkn->pjn", u, J_d)
             r_parts.append(r_s)
             Jr_parts.append(Jr_s)
+
+        # --- learned self-collision net (one residual row per waypoint) ---
+        if self_net is not None:
+            q_rows = q_cols.T                             # (N, d) MXU matmuls
+            sd, vjp = jax.vjp(self_net.signed_distance, q_rows)
+            g_net = vjp(jnp.ones_like(sd))[0]             # (N, d)
+            r_n = jax.nn.relu(net_cutoff - sd)
+            act_n = (r_n > 0).astype(dtype)
+            r_parts.append(r_n[None])
+            Jr_parts.append((-act_n[:, None] * g_net).T[None])
 
         r_all = jnp.concatenate(r_parts, axis=0)          # (P_res, N)
         Jr_all = jnp.concatenate(Jr_parts, axis=0)        # (P_res, d, N)

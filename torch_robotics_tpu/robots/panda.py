@@ -46,6 +46,9 @@ class RobotPanda(RobotAPI):
     object_margins: jnp.ndarray
     self_margins: jnp.ndarray
     grasped_points: jnp.ndarray          # (G, 3) in object frame (G may be 0)
+    # learned self-collision SDF replacing the pair-distance field when set
+    # (the reference's STORM override, robot_panda.py:131-136)
+    self_collision_net: object = None
     name: str = static_field(default="RobotPanda")
     object_coll_idxs: tuple = static_field(default=())
     self_coll_idxs: tuple = static_field(default=())
@@ -60,7 +63,28 @@ class RobotPanda(RobotAPI):
                margin_for_grasped_object_collision_checking=0.001,
                self_collision_margin_robot=0.05,
                self_collision_margin_grasped_object=0.05,
+               use_learned_self_collision: bool = False,
+               self_collision_net_path=None,
                dtype=jnp.float32):
+        """``use_learned_self_collision`` swaps the pair-distance
+        self-collision field for the learned SDF net — the reference's
+        ``use_self_collision_storm`` (robot_panda.py:131-136).  Like the
+        reference it is incompatible with a grasped object (the net was not
+        trained with one).  ``self_collision_net_path`` overrides the bundled
+        npz checkpoint."""
+        self_collision_net = None
+        if use_learned_self_collision:
+            assert grasped_object is None, (
+                "learned self-collision model does not cover grasped objects"
+                " (train a net for the grasping robot instead); see reference"
+                " robot_panda.py:131-134")
+            from ..costs.self_collision_net import SelfCollisionNet
+            if self_collision_net_path is None:
+                from ..utils.files import get_data_path
+                self_collision_net_path = (
+                    get_data_path() / "panda_self_collision_net.npz")
+            self_collision_net = SelfCollisionNet.from_npz(
+                self_collision_net_path)
         model = robot_zoo.franka_panda(grasped_object=grasped_object)
         name_to_idx = {n: i for i, n in enumerate(model.link_names)}
 
@@ -99,6 +123,7 @@ class RobotPanda(RobotAPI):
             q_min=model.q_lower, q_max=model.q_upper,
             object_margins=object_margins, self_margins=self_margins,
             grasped_points=grasped_points,
+            self_collision_net=self_collision_net,
             object_coll_idxs=object_coll_idxs,
             self_coll_idxs=self_coll_idxs,
             self_pair_idxs=tuple(map(tuple, pair_idxs.tolist())),

@@ -60,6 +60,17 @@ class GPMP2Params:
         return cls(**kwargs)
 
 
+# largest state dim routed to the fully-unrolled lanes solver.  Measured on
+# the 3-arm multi-robot system (m=40, B=256, H=32, one v5e chip): the
+# unrolled lanes solve hits 2,322 solves/s steady but costs 344 s of cold
+# compile (the m^3 unrolled Cholesky graph); the tiled-generic fallback
+# (jnp.linalg.cholesky + solve_triangular, (40,128) tile padding) compiles
+# in seconds AND runs 12% faster (2,609 solves/s) — at m=40 the blocks are
+# large enough that tile padding stops dominating.  m<=32 (single robots)
+# stays on the lanes solver, where it is ~10x the tiled path.
+_LANES_SOLVE_MAX_M = 32
+
+
 class GPMP2Result(NamedTuple):
     trajs: jnp.ndarray          # (..., H, 2d) optimized trajectories
     costs: jnp.ndarray          # (...) final scalar costs
@@ -172,8 +183,18 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
     # kernels fuse worse than the scan body); solve_lanes_bcr remains
     # available for very long horizons
     del solve_lanes_bcr
-    x_l = solve_lanes_core(D_l, U_l, b_l)                           # (H, m, B)
-    delta = jnp.transpose(x_l, (2, 0, 1))
+    if m <= _LANES_SOLVE_MAX_M:
+        x_l = solve_lanes_core(D_l, U_l, b_l)                       # (H, m, B)
+        delta = jnp.transpose(x_l, (2, 0, 1))
+    else:
+        # large state blocks (multi-robot): the unrolled lanes Cholesky
+        # graph grows as m^3 and explodes axon remote-compile time (~6 min
+        # at m=40); the tiled generic solver pads (m, m) blocks to (m, 128)
+        # tiles but compiles in seconds
+        from .btridiag import block_tridiag_solve
+        D_b = jnp.transpose(D_l, (3, 0, 1, 2))                      # (B,H,m,m)
+        b_b = jnp.transpose(b_l, (2, 0, 1))                        # (B, H, m)
+        delta = block_tridiag_solve(D_b, U, b_b)
     theta_next = theta + params.step_size * delta
     cost_traj = jnp.sum(cost.reshape(H, B), axis=0)
     return theta_next, cost_traj

@@ -54,6 +54,11 @@ class MPOTParams:
     sigma_gp: float = 0.08
     sigma_start: float = 1e-4
     sigma_goal: float = 1e-4
+    # 'full': one OT problem over ALL waypoints of the whole trajectory
+    # ensemble (the paper's Sinkhorn Step operates on the flattened point
+    # set — vertex marginals couple every waypoint of every sample);
+    # 'trajectory': one OT problem per trajectory (H x V)
+    coupling: str = "full"
 
     @classmethod
     def from_preset(cls, preset: dict) -> "MPOTParams":
@@ -160,9 +165,25 @@ def mpot_solve(state_cost_fn: Callable, theta0, start_state, goal_state,
             C = C + probe_cost(probe_r * float(f))
         C = C / params.num_probe
 
-        P = _sinkhorn(C, params.reg, params.num_sinkhorn_iters)  # (...,H,V)
-        # barycentric displacement: x += step * (P / a) D, a = 1/H
-        disp = jnp.einsum("...hv,vd->...hd", P * H, D) * step_r
+        if params.coupling == "full":
+            # paper-faithful Sinkhorn Step: flatten the whole ensemble into
+            # one point set — the uniform vertex marginal (1/V mass per
+            # direction) then couples all waypoints of all samples, forcing
+            # direction diversity across the ensemble
+            batch = C.shape[:-2]
+            n_pts = 1
+            for s in batch:
+                n_pts *= s
+            n_pts *= H
+            C_flat = C.reshape((n_pts, C.shape[-1]))
+            P = _sinkhorn(C_flat, params.reg,
+                          params.num_sinkhorn_iters).reshape(C.shape)
+            scale = float(n_pts)
+        else:
+            P = _sinkhorn(C, params.reg, params.num_sinkhorn_iters)
+            scale = float(H)
+        # barycentric displacement: x += step * (P / a) D, a = 1/n
+        disp = jnp.einsum("...hv,vd->...hd", P * scale, D) * step_r
         theta_next = theta + disp
         cost_now = jnp.sum(waypoint_cost(theta_next), axis=-1)
         return (theta_next,), cost_now

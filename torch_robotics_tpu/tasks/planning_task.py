@@ -68,11 +68,29 @@ class PlanningTask:
         return (self.robot.object_collision_points(link_pos),
                 self.robot.self_collision_points(link_pos))
 
+    # the reference's self-collision fields use their own cutoff margin
+    # (EmbodimentDistanceFieldBase cutoff_margin default,
+    # distance_fields.py:92) — the STORM net field is built with it
+    _NET_SELF_CUTOFF = 0.001
+    # occupancy threshold of the learned net (trained at 0.02;
+    # distance_fields.py:265)
+    _NET_SELF_COLL_THRESHOLD = -0.05
+
+    @property
+    def self_collision_net(self):
+        return getattr(self.robot, "self_collision_net", None)
+
     def _compute_cost(self, q):
         """'sdf' field-type cost per configuration: q (..., d) -> (...)."""
         obj_pts, self_pts = self._collision_points(q)
         cost = 0.0
-        if self_pts is not None:
+        net = self.self_collision_net
+        if net is not None:
+            # learned self-collision field replaces the pair-distance field
+            # (reference robot_panda.py:131-136 + distance_fields.py:231-266)
+            c = self._NET_SELF_CUTOFF - net.signed_distance(q)
+            cost = cost + (jax.nn.relu(c) if self.clamp_sdf_cost else c)
+        elif self_pts is not None:
             cost = cost + self_collision_cost(
                 self_pts, np.asarray(self.robot.self_pair_idxs),
                 self.robot.self_margins, clamp=self.clamp_sdf_cost)
@@ -100,7 +118,13 @@ class PlanningTask:
             cutoff = 0.0
             self_margins = margin_override
         coll = jnp.zeros(q.shape[:-1], bool)
-        if self_pts is not None:
+        net = self.self_collision_net
+        if net is not None:
+            # fixed threshold like the reference net check
+            # (distance_fields.py:263-265), independent of margin overrides
+            coll = coll | (net.signed_distance(q)
+                           < self._NET_SELF_COLL_THRESHOLD)
+        elif self_pts is not None:
             coll = coll | self_collision_any(
                 self_pts, np.asarray(self.robot.self_pair_idxs), self_margins)
         if self.df_obj_list:
@@ -128,6 +152,9 @@ class PlanningTask:
         pair_idxs = (np.asarray(robot.self_pair_idxs)
                      if robot.self_pair_idxs is not None else None)
 
+        net = getattr(robot, "self_collision_net", None)
+        net_cutoff = self._NET_SELF_CUTOFF
+
         def residuals(q):
             link_pos = robot.fk_map_collision(q)
             obj_pts = robot.object_collision_points(link_pos)
@@ -141,13 +168,17 @@ class PlanningTask:
             ws_d = jnp.min(jnp.concatenate(
                 [obj_pts - ws_min, ws_max - obj_pts], axis=-1), axis=-1)
             parts.append(jax.nn.relu(robot.object_margins + cutoff - ws_d))
-            self_pts = robot.self_collision_points(link_pos)
-            if self_pts is not None and len(pair_idxs) > 0:
-                from ..geom.sdf import safe_norm
-                a = self_pts[..., pair_idxs[:, 0], :]
-                b = self_pts[..., pair_idxs[:, 1], :]
-                parts.append(jax.nn.relu(robot.self_margins
-                                         - safe_norm(a - b, axis=-1)))
+            if net is not None:
+                parts.append(jax.nn.relu(
+                    net_cutoff - net.signed_distance(q))[..., None])
+            else:
+                self_pts = robot.self_collision_points(link_pos)
+                if self_pts is not None and len(pair_idxs) > 0:
+                    from ..geom.sdf import safe_norm
+                    a = self_pts[..., pair_idxs[:, 0], :]
+                    b = self_pts[..., pair_idxs[:, 1], :]
+                    parts.append(jax.nn.relu(robot.self_margins
+                                             - safe_norm(a - b, axis=-1)))
             return jnp.concatenate(parts, axis=-1)
 
         # fast path: analytic residual Jacobians from point Jacobians (one FK
@@ -195,7 +226,14 @@ class PlanningTask:
                 rs.append(r_ws)
                 Js.append(-act_ws[:, None]
                           * jnp.einsum("pi,pij->pj", g_w, J_obj))
-                if pair_idxs is not None and len(pair_idxs) > 0:
+                if net is not None:
+                    sd, g_net = jax.value_and_grad(
+                        lambda qq: net.signed_distance(qq))(q)
+                    r_n = jax.nn.relu(net_cutoff - sd)
+                    act_n = (r_n > 0).astype(q.dtype)
+                    rs.append(r_n[None])
+                    Js.append((-act_n * g_net)[None])
+                elif pair_idxs is not None and len(pair_idxs) > 0:
                     self_pts = robot.self_collision_points(pts_full)
                     J_self = robot.select_collision_jacobians(
                         J_full, robot.self_coll_idxs)
