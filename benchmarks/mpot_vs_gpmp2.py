@@ -48,8 +48,10 @@ def main(small=False):
     B = 16 if small else 64
     H = 64
 
-    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
-    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    # the 0.3-pitch circle grid has obstacles exactly at (+-0.9, +-0.9);
+    # diagonal midpoints between circles are free (env sdf ~ +0.11)
+    start = jnp.array([-0.75, -0.75, 0.0, 0.0])
+    goal = jnp.array([0.75, 0.75, 0.0, 0.0])
 
     # same initialization family for both planners (GP prior samples at the
     # preset's sigma_gp_init)
