@@ -65,33 +65,49 @@ def main(small=False):
 
     results = {}
 
-    # --- GPMP2 at its preset budget ---
-    t0 = time.perf_counter()
-    res = gpmp2_solve(task.collision_residuals, theta0, start, goal,
-                      gpmp2_params)
-    jax.block_until_ready(res.trajs)
-    results["gpmp2"] = {
-        **trajectory_metrics(task, res.trajs),
-        "opt_iters": gpmp2_params.opt_iters,
-        "wall_s": round(time.perf_counter() - t0, 2),
-    }
+    # --- GPMP2 at its preset budget and at the polish budget ---
+    for n in (gpmp2_params.opt_iters, 50):
+        p = GPMP2Params(**{**gpmp2_params.__dict__, "opt_iters": n})
+        t0 = time.perf_counter()
+        res = gpmp2_solve(task.collision_residuals, theta0, start, goal, p)
+        jax.block_until_ready(res.trajs)
+        results[f"gpmp2_{n}"] = {
+            **trajectory_metrics(task, res.trajs),
+            "opt_iters": n,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
 
-    # --- MPOT at its preset budget, both couplings ---
+    # --- MPOT (raw Sinkhorn stage) and the production pipeline ---
+    from torch_robotics_tpu.solve.hybrid import plan_mpot_gpmp2
+
     def state_cost(theta):
         return task._compute_cost(theta[..., :d])
 
-    for coupling in ("full", "trajectory"):
-        params = MPOTParams.from_preset(
-            {**mpot_preset, "sigma_start": 1e-3, "sigma_goal": 1e-3})
-        params = MPOTParams(**{**params.__dict__, "coupling": coupling})
-        t0 = time.perf_counter()
-        res_m = mpot_solve(state_cost, theta0, start, goal, params)
-        jax.block_until_ready(res_m.trajs)
-        results[f"mpot_{coupling}"] = {
-            **trajectory_metrics(task, res_m.trajs),
-            "opt_iters": params.opt_iters,
-            "wall_s": round(time.perf_counter() - t0, 2),
-        }
+    m_params = MPOTParams.from_preset(
+        {**mpot_preset, "sigma_start": 1e-3, "sigma_goal": 1e-3})
+    task_h = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01,
+                          clamp_sdf_cost=True)
+    t0 = time.perf_counter()
+    res_m = mpot_solve(state_cost, theta0, start, goal, m_params,
+                       hinge_cost_fn=lambda th: task_h._compute_cost(
+                           th[..., :d]))
+    jax.block_until_ready(res_m.trajs)
+    results["mpot_raw"] = {
+        **trajectory_metrics(task, res_m.trajs),
+        "opt_iters": m_params.opt_iters,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+
+    t0 = time.perf_counter()
+    res_p, _ = plan_mpot_gpmp2(task, theta0, start, goal,
+                               mpot_params=m_params,
+                               gpmp2_params=gpmp2_params, polish_iters=50)
+    jax.block_until_ready(res_p.trajs)
+    results["mpot_gpmp2_pipeline"] = {
+        **trajectory_metrics(task, res_p.trajs),
+        "opt_iters": f"{m_params.opt_iters} OT + 50 GN",
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
 
     print(json.dumps(results, indent=1))
     return results

@@ -59,3 +59,34 @@ def test_mpot_improves_trajectories():
     c0 = float(state_cost(theta0).sum())
     cF = float(state_cost(res.trajs).sum())
     assert cF < c0
+
+
+def test_mpot_gpmp2_pipeline_quality():
+    """The production MPOT pipeline (Sinkhorn exploration + GN polish)
+    produces mostly collision-free, smooth trajectories on GridCircles2D
+    (the env whose presets target MPOT)."""
+    from torch_robotics_tpu.solve import GPMP2Params, gpmp2_init_trajs
+    from torch_robotics_tpu.solve.hybrid import plan_mpot_gpmp2
+    from torch_robotics_tpu.trajectory.metrics import compute_smoothness
+
+    env = EnvGridCircles2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
+    start = jnp.array([-0.75, -0.75, 0.0, 0.0])
+    goal = jnp.array([0.75, 0.75, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(
+        jax.random.PRNGKey(0),
+        GPMP2Params(num_samples=16, sigma_gp_init=0.2), start, goal)
+
+    res, res_mpot = plan_mpot_gpmp2(task, theta0, start, goal,
+                                    polish_iters=30)
+    assert res.trajs.shape == theta0.shape
+    frac_free = task.compute_fraction_free_trajs(res.trajs)
+    assert frac_free >= 0.4, frac_free
+    sm = float(compute_smoothness(res.trajs, robot).mean())
+    assert sm < 12.0, sm
+    # endpoints pinned through both stages
+    np.testing.assert_allclose(res.trajs[:, 0, :2],
+                               np.tile([-0.75, -0.75], (16, 1)), atol=2e-2)
+    np.testing.assert_allclose(res.trajs[:, -1, :2],
+                               np.tile([0.75, 0.75], (16, 1)), atol=2e-2)

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "multihost_init",
-           "solve_sharded", "mpc_rollout_sharded"]
+__all__ = ["make_mesh", "shard_batch", "shard_batch_padded", "replicate",
+           "multihost_init", "solve_sharded", "mpc_rollout_sharded"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch",
@@ -52,13 +52,32 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def shard_batch_padded(x, mesh: Mesh, axis_name: str = "batch"):
+    """Shard a batch whose size need not divide the mesh size.
+
+    Pads the leading axis by repeating the last element up to the next
+    multiple of the mesh size (repeats keep solver numerics finite, unlike
+    zero rows), shards, and returns (sharded array, n_valid).  Callers mask
+    the padded tail with ``jnp.arange(B_pad) < n_valid`` when reducing.
+    """
+    n = mesh.devices.size
+    B = x.shape[0]
+    pad = (-B) % n
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return shard_batch(x, mesh, axis_name), B
+
+
 def solve_sharded(residual_fn, theta0, start_state, goal_state, params,
-                  mesh: Mesh, axis_name: str = "batch"):
+                  mesh: Mesh, axis_name: str = "batch",
+                  n_valid: Optional[int] = None):
     """GPMP2 solve with the problem batch sharded over the mesh.
 
-    theta0: (B, H, 2d) with B divisible by the mesh size; start/goal either
-    shared (2d,) or per-problem (B, 2d).  Returns the optimized trajectories
-    (same sharding) plus the global mean final cost (psum over ICI).
+    theta0: (B, H, 2d) with B divisible by the mesh size (use
+    ``shard_batch_padded`` for uneven batches and pass its ``n_valid``);
+    start/goal either shared (2d,) or per-problem (B, 2d).  Returns the
+    optimized trajectories (same sharding) plus the global mean final cost
+    (psum over ICI), excluding padded rows from the statistic.
     """
     from ..solve.gpmp2 import gpmp2_solve
 
@@ -72,8 +91,15 @@ def solve_sharded(residual_fn, theta0, start_state, goal_state, params,
              out_specs=out_specs)
     def _solve(theta0_l, start_l, goal_l):
         res = gpmp2_solve(residual_fn, theta0_l, start_l, goal_l, params)
-        local_sum = jnp.sum(res.costs)
-        local_n = jnp.asarray(res.costs.size, res.costs.dtype)
+        if n_valid is not None:
+            local_B = res.costs.shape[0]
+            row0 = jax.lax.axis_index(axis_name) * local_B
+            valid = ((row0 + jnp.arange(local_B)) < n_valid).astype(
+                res.costs.dtype)
+        else:
+            valid = jnp.ones_like(res.costs)
+        local_sum = jnp.sum(res.costs * valid)
+        local_n = jnp.sum(valid)
         global_mean = (jax.lax.psum(local_sum, axis_name)
                        / jax.lax.psum(local_n, axis_name))
         return res.trajs, global_mean[None]
