@@ -50,7 +50,7 @@ def main():
     H, m = 64, 14
     solve = jax.jit(solve_lanes_core)
     print("H=%d m=%d  solve_lanes_core" % (H, m))
-    for B in (256, 1024, 4096, 16384):
+    for B in (256, 1024, 4096):   # 16384 OOMs HBM (solver buffers ~6 GB)
         D, U, b = make_system(jax.random.PRNGKey(0), H, m, B)
         dt, _ = time_solver(solve, D, U, b)
         print("  B=%5d  %7.2f ms   %8.1f solves/s  %6.1f us/scan-step"

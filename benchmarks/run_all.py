@@ -51,21 +51,26 @@ def config_fk_ik(small: bool):
     _, dt_fk = _timed(fk, q)
 
     from torch_robotics_tpu.core import pack_homogeneous, y_rot, z_rot
+    from torch_robotics_tpu.kin.ik import inverse_kinematics_gn
     H_target = pack_homogeneous(
         z_rot(jnp.array(-jnp.pi / 2)) @ y_rot(jnp.array(-jnp.pi)),
         jnp.array([0.2, 0.4, 0.1]))
     B_ik = 64 if small else 1024
-    iters = 100 if small else 300
+    # damped-least-squares IK with resample-on-stall (the production
+    # solver; the reference-parity Adam IK remains inverse_kinematics)
+    iters = 60 if small else 150
     t0 = time.perf_counter()
-    res = inverse_kinematics(model, H_target, link_name="ee_link",
-                             batch_size=B_ik, max_iters=iters, lr=2e-1,
-                             se3_eps=5e-2, key=jax.random.PRNGKey(1))
+    res = inverse_kinematics_gn(model, H_target, link_name="ee_link",
+                                batch_size=B_ik, max_iters=iters,
+                                se3_eps=5e-2, restart_every=25,
+                                key=jax.random.PRNGKey(1))
     jax.block_until_ready(res.q)
     dt_ik = time.perf_counter() - t0
     return {
         "fk_rollouts_per_s": round(B / dt_fk, 1),
         "ik_batch": B_ik, "ik_iters": iters,
         "ik_valid_frac": round(float(res.valid.mean()), 3),
+        "ik_median_iters": int(jnp.median(res.iters_to_valid)),
         "ik_wall_s": round(dt_ik, 3),
     }
 
@@ -87,6 +92,7 @@ def config_pointmass(small: bool):
     from torch_robotics_tpu.solve import (GPMP2Params, gpmp2_init_trajs,
                                           gpmp2_solve)
     from torch_robotics_tpu.tasks import PlanningTask
+    from torch_robotics_tpu.solve.hybrid import plan_hybrid
     env = EnvDense2D()
     robot = RobotPointMass.create()
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.02)
@@ -96,11 +102,25 @@ def config_pointmass(small: bool):
                             "opt_iters": 50 if small else 150})
     start = jnp.array([-0.9, -0.9, 0.0, 0.0])
     goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+
+    # pure GPMP2 from the GP prior (the baseline number)
     theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), params, start, goal)
     res, dt = _timed(lambda th: gpmp2_solve(
         task.collision_residuals, th, start, goal, params), theta0,
         repeats=1)
-    return _trajopt_metrics(task, res, dt, B)
+    out = _trajopt_metrics(task, res, dt, B)
+
+    # default pipeline: RRT-Connect seed -> spline -> GPMP2 refinement
+    # (the hybrid init is the production default for narrow-passage envs)
+    t0 = time.perf_counter()
+    res_h, _ = plan_hybrid(task, start[:2], goal[:2], gpmp2_params=params,
+                           num_samples=B)
+    jax.block_until_ready(res_h.trajs)
+    dt_h = time.perf_counter() - t0
+    out["hybrid_fraction_free"] = round(
+        task.compute_fraction_free_trajs(res_h.trajs), 3)
+    out["hybrid_wall_s"] = round(dt_h, 2)
+    return out
 
 
 def config_panda(small: bool):

@@ -39,3 +39,44 @@ def test_ik_respects_q0(panda):
         key=jax.random.PRNGKey(1))
     assert int(res.valid.sum()) == 4
     assert float(res.err_se3.max()) < 5e-2
+
+
+def test_gn_ik_beats_adam_convergence():
+    """Damped-least-squares IK converges far faster and more reliably than
+    the reference-parity Adam solver."""
+    from torch_robotics_tpu.core import pack_homogeneous, y_rot, z_rot
+    from torch_robotics_tpu.kin.ik import inverse_kinematics_gn
+
+    model = robot_zoo.franka_panda()
+    H_target = pack_homogeneous(
+        z_rot(jnp.array(-jnp.pi / 2)) @ y_rot(jnp.array(-jnp.pi)),
+        jnp.array([0.2, 0.4, 0.1]))
+    res = inverse_kinematics_gn(model, H_target, link_name="ee_link",
+                                batch_size=64, max_iters=100, se3_eps=5e-2,
+                                restart_every=25, key=jax.random.PRNGKey(1))
+    assert float(res.valid.mean()) >= 0.85
+    assert float(jnp.median(res.iters_to_valid)) < 60
+    # returned q of valid samples actually satisfies the validity test
+    from torch_robotics_tpu.kin.ik import ik_valid_mask
+    ok, _ = ik_valid_mask(model, res.q, H_target[None], "ee_link",
+                          se3_eps=5e-2)
+    assert bool(jnp.all(ok[res.valid] | ~res.valid[res.valid]))
+
+
+def test_adam_ik_restart_keeps_first_valid():
+    """The Adam IK freezes the first valid q (later drift cannot unvalidate
+    a converged sample)."""
+    from torch_robotics_tpu.core import pack_homogeneous, y_rot, z_rot
+    from torch_robotics_tpu.kin.ik import ik_valid_mask
+
+    model = robot_zoo.franka_panda()
+    H_target = pack_homogeneous(
+        z_rot(jnp.array(-jnp.pi / 2)) @ y_rot(jnp.array(-jnp.pi)),
+        jnp.array([0.2, 0.4, 0.1]))
+    res = inverse_kinematics(model, H_target, link_name="ee_link",
+                             batch_size=64, max_iters=150, lr=2e-1,
+                             se3_eps=5e-2, key=jax.random.PRNGKey(2))
+    ok, _ = ik_valid_mask(model, res.q, H_target[None], "ee_link",
+                          se3_eps=5e-2)
+    # every sample reported valid satisfies the check on the RETURNED q
+    assert bool(jnp.all(~res.valid | ok))

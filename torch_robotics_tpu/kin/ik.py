@@ -21,7 +21,8 @@ from ..core.se3 import SE3_distance
 from .fk import fk_all_links
 from .model import KinematicModel
 
-__all__ = ["IKResult", "ik_loss_per_q", "ik_valid_mask", "inverse_kinematics"]
+__all__ = ["IKResult", "ik_loss_per_q", "ik_valid_mask", "inverse_kinematics",
+           "inverse_kinematics_gn"]
 
 
 class IKResult(NamedTuple):
@@ -58,33 +59,65 @@ def ik_valid_mask(model: KinematicModel, q, H_target, link_name: str,
     return in_limits & (err < se3_eps), err
 
 
-@partial(jax.jit, static_argnames=("link_name", "max_iters", "lr"))
+@partial(jax.jit, static_argnames=("link_name", "max_iters", "lr",
+                                   "restart_every"))
 def _ik_run(model, H_target, link_name, q0, lower, upper,
-            max_iters, lr, se3_eps, q_rest):
+            max_iters, lr, se3_eps, q_rest, key=None,
+            restart_every: int = 50):
+    """Adam scan with solution freezing and resample-on-stall.
+
+    - the first q that satisfies the validity test is KEPT (``q_best``) even
+      if later Adam steps drift away from it;
+    - every ``restart_every`` iterations, still-unconverged samples are
+      re-drawn uniformly inside the limits with their Adam state reset —
+      the fixed-budget analogue of the reference's repeated random trials
+      (robot_tree.py:329-342), which rescues samples stuck in bad basins.
+    """
     opt = optax.adam(lr)
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def loss_fn(q):
         return jnp.sum(ik_loss_per_q(model, q, H_target, link_name,
                                      lower=lower, upper=upper, q_rest=q_rest))
 
     def step(carry, i):
-        q, opt_state, valid, iters_to_valid = carry
+        q, opt_state, valid, q_best, iters_to_valid = carry
         new_valid, _ = ik_valid_mask(model, q, H_target, link_name,
                                      lower=lower, upper=upper, se3_eps=se3_eps)
-        iters_to_valid = jnp.where(new_valid & ~valid, i, iters_to_valid)
+        first = new_valid & ~valid
+        q_best = jnp.where(first[:, None], q, q_best)
+        iters_to_valid = jnp.where(first, i, iters_to_valid)
         valid = valid | new_valid
+
+        # resample stalled problems with fresh starts + reset Adam state
+        do_restart = (i % restart_every == restart_every - 1)
+        u = jax.random.uniform(jax.random.fold_in(key, i), q.shape)
+        q_fresh = lower + u * (upper - lower)
+        mask = (do_restart & ~valid)[:, None]
+        q = jnp.where(mask, q_fresh, q)
+        opt_state = jax.tree.map(
+            lambda s: (jnp.where(mask, jnp.zeros_like(s), s)
+                       if isinstance(s, jnp.ndarray) and s.shape == q.shape
+                       else s), opt_state)
+
         g = jax.grad(loss_fn)(q)
         updates, opt_state = opt.update(g, opt_state, q)
         q = optax.apply_updates(q, updates)
-        return (q, opt_state, valid, iters_to_valid), None
+        return (q, opt_state, valid, q_best, iters_to_valid), None
 
     valid0 = jnp.zeros(q0.shape[0], bool)
     iters0 = jnp.full(q0.shape[0], max_iters, jnp.int32)
-    (q, _, valid, iters), _ = jax.lax.scan(
-        step, (q0, opt.init(q0), valid0, iters0), jnp.arange(max_iters))
-    final_valid, err = ik_valid_mask(model, q, H_target, link_name,
-                                     lower=lower, upper=upper, se3_eps=se3_eps)
-    return IKResult(q=q, valid=valid | final_valid, err_se3=err,
+    (q, _, valid, q_best, iters), _ = jax.lax.scan(
+        step, (q0, opt.init(q0), valid0, q0, iters0), jnp.arange(max_iters))
+    final_valid, err_final = ik_valid_mask(
+        model, q, H_target, link_name, lower=lower, upper=upper,
+        se3_eps=se3_eps)
+    # frozen first-valid solution for converged samples; last iterate else
+    q_out = jnp.where((valid & ~final_valid)[:, None], q_best, q)
+    _, err = ik_valid_mask(model, q_out, H_target, link_name,
+                           lower=lower, upper=upper, se3_eps=se3_eps)
+    return IKResult(q=q_out, valid=valid | final_valid, err_se3=err,
                     iters_to_valid=iters)
 
 
@@ -115,4 +148,92 @@ def inverse_kinematics(
         q0 = jnp.clip(q0 + noise, lower, upper)
 
     return _ik_run(model, H_target, link_name, q0, lower, upper,
-                   max_iters, lr, se3_eps, q_rest)
+                   max_iters, lr, se3_eps, q_rest,
+                   key=jax.random.fold_in(key, 1))
+
+
+@partial(jax.jit, static_argnames=("link_name", "max_iters", "restart_every"))
+def _ik_gn_run(model, H_target, link_name, q0, lower, upper, max_iters,
+               damping, se3_eps, key, restart_every):
+    from ..core.se3 import log_SO3
+    from .fk import fk_all_links, geometric_jacobian
+
+    def twist_error(q):
+        """6-D task-space error (rotation log, translation)."""
+        H = fk_all_links(model, q, link_list=[link_name])[..., 0, :, :]
+        R_err = jnp.matmul(H_target[..., :3, :3],
+                           jnp.swapaxes(H[..., :3, :3], -1, -2))
+        W = log_SO3(R_err)               # skew matrix (..., 3, 3)
+        w = jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+        v = H_target[..., :3, 3] - H[..., :3, 3]
+        return jnp.concatenate([v, w], axis=-1)
+
+    eye = jnp.eye(model.n_dofs, dtype=q0.dtype)
+
+    def step(carry, i):
+        q, valid, q_best, iters_to_valid = carry
+        new_valid, _ = ik_valid_mask(model, q, H_target, link_name,
+                                     lower=lower, upper=upper,
+                                     se3_eps=se3_eps)
+        first = new_valid & ~valid
+        q_best = jnp.where(first[:, None], q, q_best)
+        iters_to_valid = jnp.where(first, i, iters_to_valid)
+        valid = valid | new_valid
+
+        # resample stalled problems
+        do_restart = (i % restart_every == restart_every - 1)
+        u = jax.random.uniform(jax.random.fold_in(key, i), q.shape)
+        mask = (do_restart & ~valid)[:, None]
+        q = jnp.where(mask, lower + u * (upper - lower), q)
+
+        # damped least squares: dq = J^T (J J^T + lam I)^{-1} e
+        e = twist_error(q)                                  # (B, 6)
+        lin, ang = geometric_jacobian(model, q, link_name)  # (B, 3, d) x2
+        J = jnp.concatenate([lin, ang], axis=-2)            # (B, 6, d)
+        JJt = jnp.einsum("bik,bjk->bij", J, J) \
+            + damping * jnp.eye(6, dtype=q.dtype)
+        y = jnp.linalg.solve(JJt, e[..., None])[..., 0]
+        dq = jnp.einsum("bik,bi->bk", J, y)
+        q = jnp.clip(q + dq, lower, upper)
+        return (q, valid, q_best, iters_to_valid), None
+
+    valid0 = jnp.zeros(q0.shape[0], bool)
+    iters0 = jnp.full(q0.shape[0], max_iters, jnp.int32)
+    (q, valid, q_best, iters), _ = jax.lax.scan(
+        step, (q0, valid0, q0, iters0), jnp.arange(max_iters))
+    final_valid, _ = ik_valid_mask(model, q, H_target, link_name,
+                                   lower=lower, upper=upper, se3_eps=se3_eps)
+    q_out = jnp.where((valid & ~final_valid)[:, None], q_best, q)
+    _, err = ik_valid_mask(model, q_out, H_target, link_name,
+                           lower=lower, upper=upper, se3_eps=se3_eps)
+    return IKResult(q=q_out, valid=valid | final_valid, err_se3=err,
+                    iters_to_valid=iters)
+
+
+def inverse_kinematics_gn(
+        model: KinematicModel, H_target, link_name: str = "ee_link",
+        batch_size: int = 1, max_iters: int = 60, damping: float = 1e-4,
+        se3_eps: float = 1e-1, eps_joint_lim: float = jnp.pi / 100,
+        restart_every: int = 20,
+        key: Optional[jax.Array] = None) -> IKResult:
+    """Damped-least-squares (Gauss-Newton) batched IK.
+
+    Beyond-reference solver: the reference only ships first-order Adam IK
+    (robot_tree.py:303-384, kept as ``inverse_kinematics`` for parity).
+    DLS iterates dq = J^T (J J^T + lam I)^{-1} e with the joint-space
+    iterate clipped to the limits, converging in tens of iterations where
+    Adam needs hundreds; unconverged samples are redrawn every
+    ``restart_every`` iterations.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    H_target = jnp.asarray(H_target)
+    if H_target.ndim == 2:
+        H_target = H_target[None]
+    lower = model.q_lower + eps_joint_lim
+    upper = model.q_upper - eps_joint_lim
+    u = jax.random.uniform(key, (batch_size, model.n_dofs))
+    q0 = lower + u * (upper - lower)
+    return _ik_gn_run(model, H_target, link_name, q0, lower, upper,
+                      max_iters, damping, se3_eps,
+                      jax.random.fold_in(key, 1), restart_every)
