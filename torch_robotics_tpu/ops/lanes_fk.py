@@ -474,7 +474,17 @@ def obstacle_terms_lanes_factory(task):
 
     obj_pts_pos_np = np.asarray(obj_pts_pos, np.int32)
 
-    def terms(q_cols, lam):
+    def terms(q_cols, lam, h=None):
+        """q_cols (d, N) -> GN obstacle terms.
+
+        h=None: lanes-minor outputs g (m, N), Hb (m, m, N), cost (N,).
+        h=H (with N = H * B, h-major lane order): emits the solver layout
+        g (H, m, B), Hb (H, m, m, B), cost (H, B) DIRECTLY from the final
+        einsums, skipping the (m, m, H, B) -> (H, m, m, B) transpose of
+        the 51 MB Hessian-block array between assembly and the solver
+        scan (measured +2% end-to-end at B=1024; fetch-forced timing
+        shows the solver scan itself, not the transpose, dominates).
+        """
         dtype = q_cols.dtype
         N = q_cols.shape[-1]
         pts, J, _ = pts_jac_fn(q_cols)
@@ -561,6 +571,22 @@ def obstacle_terms_lanes_factory(task):
 
         r_all = jnp.concatenate(r_parts, axis=0)          # (P_res, N)
         Jr_all = jnp.concatenate(Jr_parts, axis=0)        # (P_res, d, N)
+
+        if h is not None:
+            # free view: lane order is h-major (n = h * B + b)
+            Bl = N // h
+            r_h = r_all.reshape(-1, h, Bl)
+            Jr_h = Jr_all.reshape(-1, d, h, Bl)
+            g_q = lam * jnp.einsum("phb,pjhb->hjb", r_h, Jr_h)
+            H_qq = lam * jnp.einsum("pihb,pjhb->hijb", Jr_h, Jr_h)
+            cost = 0.5 * lam * jnp.sum(jnp.square(r_h), axis=0)   # (h, B)
+            g = jnp.concatenate(
+                [g_q, jnp.zeros((h, m - d, Bl), dtype)], axis=1)
+            top = jnp.concatenate(
+                [H_qq, jnp.zeros((h, d, m - d, Bl), dtype)], axis=2)
+            bot = jnp.zeros((h, m - d, m, Bl), dtype)
+            Hb = jnp.concatenate([top, bot], axis=1)
+            return g, Hb, cost
 
         g_q = lam * jnp.einsum("pn,pjn->jn", r_all, Jr_all)
         H_qq = lam * jnp.einsum("pin,pjn->ijn", Jr_all, Jr_all)

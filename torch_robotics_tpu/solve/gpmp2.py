@@ -154,19 +154,19 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
     lam = 1.0 / (params.sigma_coll ** 2)
 
     q_cols = jnp.transpose(theta[..., :d], (2, 1, 0)).reshape(d, H * B)
-    g_obs, H_obs, cost = lanes_terms(q_cols, lam)     # (m,N),(m,m,N),(N,)
+    # terms emitted directly in the solver layout (H, m[, m], B): skips
+    # materializing + transposing the 51 MB (m, m, H, B) Hessian-block
+    # array between assembly and the solver scan (+2% end-to-end)
+    g_obs_l, H_obs_l, cost = lanes_terms(q_cols, lam, h=H)
 
     g_gp, D, U = gp_prior_terms(
         theta, start_state, goal_state, params.dt, params.sigma_start,
         params.sigma_gp, params.sigma_goal_prior)
 
-    # assemble in lanes layout
-    g_obs_l = jnp.transpose(g_obs.reshape(m, H, B), (1, 0, 2))     # (H, m, B)
     g_gp_l = jnp.transpose(g_gp, (1, 2, 0))                        # (H, m, B)
     b_l = -(g_gp_l + g_obs_l)
     eye = jnp.eye(m, dtype=theta.dtype)
-    D_l = (D[..., None]
-           + jnp.transpose(H_obs.reshape(m, m, H, B), (2, 0, 1, 3))
+    D_l = (D[..., None] + H_obs_l
            + params.solver_delta * eye[..., None])                  # (H,m,m,B)
     if ee_goal_terms is not None:
         g_ee, H_ee, _ = ee_goal_terms(theta[..., -1, :d])           # (B,m),(B,m,m)
@@ -196,7 +196,7 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
         b_b = jnp.transpose(b_l, (2, 0, 1))                        # (B, H, m)
         delta = block_tridiag_solve(D_b, U, b_b)
     theta_next = theta + params.step_size * delta
-    cost_traj = jnp.sum(cost.reshape(H, B), axis=0)
+    cost_traj = jnp.sum(cost, axis=0)                  # cost is (H, B)
     return theta_next, cost_traj
 
 
