@@ -77,19 +77,52 @@ def _trsv_upper_lanes(LT_rows, b):
     return jnp.stack(x)
 
 
+# The small-matrix contractions are unrolled into elementwise multiply-add
+# chains rather than einsum: einsum lowers to dot_general with
+# batching_dims=[B-axis], whose TPU output layout is B-MAJOR
+# (tensor<Bx14x14>) — XLA then transposes back to lanes layout inside
+# every scan step.  Unrolled chains keep the whole body elementwise and
+# fusable (measured: 39.6 -> see bench history in CLAUDE.md).
+
+
 def _matmul_T_lanes(A, B_mat):
-    """A^T @ B for (k, m, Bv) x (k, n, Bv) -> (m, n, Bv)."""
-    return jnp.einsum("kmb,knb->mnb", A, B_mat)
+    """A^T @ B for (k, m, Bv) x (k, n, Bv) -> (m, n, Bv), unrolled."""
+    k, m = A.shape[0], A.shape[1]
+    n = B_mat.shape[1]
+    rows = []
+    for i in range(m):
+        row = []
+        for j in range(n):
+            s = A[0, i] * B_mat[0, j]
+            for kk in range(1, k):
+                s = s + A[kk, i] * B_mat[kk, j]
+            row.append(s)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
 
 
 def _matvec_T_lanes(A, x):
-    """A^T @ x for (k, m, Bv) x (k, Bv) -> (m, Bv)."""
-    return jnp.einsum("kmb,kb->mb", A, x)
+    """A^T @ x for (k, m, Bv) x (k, Bv) -> (m, Bv), unrolled."""
+    k, m = A.shape[0], A.shape[1]
+    out = []
+    for i in range(m):
+        s = A[0, i] * x[0]
+        for kk in range(1, k):
+            s = s + A[kk, i] * x[kk]
+        out.append(s)
+    return jnp.stack(out)
 
 
 def _matvec_lanes(A, x):
-    """A @ x for (m, k, Bv) x (k, Bv) -> (m, Bv)."""
-    return jnp.einsum("mkb,kb->mb", A, x)
+    """A @ x for (m, k, Bv) x (k, Bv) -> (m, Bv), unrolled."""
+    m, k = A.shape[0], A.shape[1]
+    out = []
+    for i in range(m):
+        s = A[i, 0] * x[0]
+        for kk in range(1, k):
+            s = s + A[i, kk] * x[kk]
+        out.append(s)
+    return jnp.stack(out)
 
 
 def block_tridiag_solve_lanes(D, U, b):
