@@ -191,6 +191,12 @@ def config_multi_robot(small: bool):
                      sigma_start=1e-3, sigma_gp=1e-1, sigma_goal_prior=1e-3,
                      sigma_coll=1e-3, step_size=0.7)
     params = MPCParams(gpmp2=gp, iters_per_step=2)
+    # warm up (compile) before timing — a code change invalidates the
+    # persistent compile cache and would otherwise bill ~20 s of remote
+    # compile to the measurement
+    xs, info = mpc_rollout(task.collision_residuals, start, goal, params,
+                           n_steps=steps)
+    jax.block_until_ready(xs)
     t0 = time.perf_counter()
     xs, info = mpc_rollout(task.collision_residuals, start, goal, params,
                            n_steps=steps)

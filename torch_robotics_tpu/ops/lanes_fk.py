@@ -504,11 +504,21 @@ def obstacle_terms_lanes_factory(task):
 
         r_parts, Jr_parts = [], []
 
+        def contract_ws(grad, J_sub):
+            """sum_k grad[k] * J_sub[..., k, :]: (ws_dim, P, N) x
+            (P, d, ws_dim, N) -> (P, d, N).  Unrolled over ws_dim — einsum
+            here lowers to dot_general batched on the lane axis, whose
+            B-major TPU output layout forces a transpose per call."""
+            s = grad[0][:, None, :] * J_sub[:, :, 0, :]
+            for k in range(1, J_sub.shape[2]):
+                s = s + grad[k][:, None, :] * J_sub[:, :, k, :]
+            return s
+
         def hinge_rows(margins_vec, val, grad, J_sub):
             """val (P?, N), grad (ws_dim, P?, N), J_sub (P?, d, ws_dim, N)."""
             r = jax.nn.relu(margins_vec[:, None] + cutoff - val)
             act = (r > 0).astype(dtype)
-            Jr = -act[:, None, :] * jnp.einsum("kpn,pjkn->pjn", grad, J_sub)
+            Jr = -act[:, None, :] * contract_ws(grad, J_sub)
             r_parts.append(r)
             Jr_parts.append(Jr)
 
@@ -555,7 +565,7 @@ def obstacle_terms_lanes_factory(task):
             r_s = jax.nn.relu(self_margins[:, None] - dist)
             act = (r_s > 0).astype(dtype)
             J_d = J_arr[a_pos] - J_arr[b_pos]             # (K, d, 3, N)
-            Jr_s = -act[:, None, :] * jnp.einsum("kpn,pjkn->pjn", u, J_d)
+            Jr_s = -act[:, None, :] * contract_ws(u, J_d)
             r_parts.append(r_s)
             Jr_parts.append(Jr_s)
 
@@ -577,8 +587,23 @@ def obstacle_terms_lanes_factory(task):
             Bl = N // h
             r_h = r_all.reshape(-1, h, Bl)
             Jr_h = Jr_all.reshape(-1, d, h, Bl)
-            g_q = lam * jnp.einsum("phb,pjhb->hjb", r_h, Jr_h)
-            H_qq = lam * jnp.einsum("pihb,pjhb->hijb", Jr_h, Jr_h)
+            # J^T r and J^T J as unrolled reduce-over-P of elementwise
+            # products (einsum -> dot_general batched on lanes -> B-major
+            # output + transpose; see solver history in CLAUDE.md)
+            g_q = lam * jnp.stack(
+                [jnp.sum(r_h * Jr_h[:, j], axis=0) for j in range(d)],
+                axis=1)                                            # (h, d, B)
+            H_rows = []
+            for i in range(d):
+                row = []
+                for j in range(d):
+                    if j < i:
+                        row.append(H_rows[j][i])
+                    else:
+                        row.append(jnp.sum(Jr_h[:, i] * Jr_h[:, j], axis=0))
+                H_rows.append(row)
+            H_qq = lam * jnp.stack(
+                [jnp.stack(row, axis=1) for row in H_rows], axis=1)
             cost = 0.5 * lam * jnp.sum(jnp.square(r_h), axis=0)   # (h, B)
             g = jnp.concatenate(
                 [g_q, jnp.zeros((h, m - d, Bl), dtype)], axis=1)
@@ -588,8 +613,18 @@ def obstacle_terms_lanes_factory(task):
             Hb = jnp.concatenate([top, bot], axis=1)
             return g, Hb, cost
 
-        g_q = lam * jnp.einsum("pn,pjn->jn", r_all, Jr_all)
-        H_qq = lam * jnp.einsum("pin,pjn->ijn", Jr_all, Jr_all)
+        g_q = lam * jnp.stack(
+            [jnp.sum(r_all * Jr_all[:, j], axis=0) for j in range(d)])
+        H_rows = []
+        for i in range(d):
+            row = []
+            for j in range(d):
+                if j < i:
+                    row.append(H_rows[j][i])
+                else:
+                    row.append(jnp.sum(Jr_all[:, i] * Jr_all[:, j], axis=0))
+            H_rows.append(row)
+        H_qq = lam * jnp.stack([jnp.stack(row) for row in H_rows])
         cost = 0.5 * lam * jnp.sum(jnp.square(r_all), axis=0)
 
         # embed into the full state dimension (zeros on the velocity part)
