@@ -1,0 +1,97 @@
+"""iLQR solver: convergence, dynamics feasibility, collision avoidance."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.solve import ILQRParams, ilqr_solve
+from torch_robotics_tpu.solve.ilqr import _dynamics_mats
+
+
+@pytest.fixture(scope="module")
+def circle_tasks():
+    """(solver task with wide margin, evaluation task at standard margin)."""
+    from torch_robotics_tpu.envs import EnvCircle2D
+    from torch_robotics_tpu.robots import RobotPointMass
+    from torch_robotics_tpu.tasks import PlanningTask
+    env = EnvCircle2D(precompute_sdf_obj_fixed=False)
+    robot = RobotPointMass.create()
+    solver_task = PlanningTask(env=env, robot=robot,
+                               obstacle_cutoff_margin=0.08)
+    eval_task = PlanningTask(env=env, robot=robot,
+                             obstacle_cutoff_margin=0.03)
+    return solver_task, eval_task
+
+
+PARAMS = ILQRParams(n_support_points=32, dt=0.08, opt_iters=100,
+                    sigma_coll=1e-2, sigma_goal_prior=1e-2, r_control=1e-5)
+
+# crossings whose straight line clips the central circle (r=0.3) OFF-center —
+# a symmetric line through the center is a stationary point a local method
+# cannot leave
+START = jnp.array([[-0.8, -0.1, 0.0, 0.0], [-0.7, 0.35, 0.0, 0.0]],
+                  jnp.float32)
+GOAL = jnp.array([[0.8, 0.3, 0.0, 0.0], [0.7, -0.05, 0.0, 0.0]], jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def solved(circle_tasks):
+    solver_task, _ = circle_tasks
+    return ilqr_solve(solver_task.collision_residuals, START, GOAL, PARAMS)
+
+
+def test_ilqr_converges_to_goal(solved):
+    res = solved
+    # monotone non-increasing cost trace (line search rejects bad steps)
+    trace = np.asarray(res.cost_trace)
+    assert np.all(trace[1:] <= trace[:-1] + 1e-5)
+    # final waypoint reaches the goal position
+    final_pos = np.asarray(res.trajs[:, -1, :2])
+    np.testing.assert_allclose(final_pos, np.asarray(GOAL[:, :2]), atol=2e-2)
+    # large improvement over the zero-control rollout
+    assert np.all(np.asarray(res.costs) < 0.2 * trace[0])
+
+
+def test_ilqr_dynamics_exact(solved):
+    res = solved
+    Phi, Bm = _dynamics_mats(2, PARAMS.dt, jnp.float32)
+    xs, U = res.trajs, res.controls
+    pred = jnp.einsum("ij,bhj->bhi", Phi, xs[:, :-1]) + jnp.einsum(
+        "ij,bhj->bhi", Bm, U)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(xs[:, 1:]),
+                               atol=1e-5)
+
+
+def test_ilqr_avoids_collisions(circle_tasks, solved):
+    _, eval_task = circle_tasks
+    # the straight lines between these endpoints clip the circle; the
+    # optimized trajectories must be collision-free at the standard margin
+    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+    sl = straight_line_trajs(START, GOAL, PARAMS.n_support_points)
+    assert float(eval_task.compute_fraction_free_trajs(sl)) == 0.0
+    frac_free = float(eval_task.compute_fraction_free_trajs(solved.trajs))
+    assert frac_free == 1.0, frac_free
+
+
+def test_ilqr_warm_start_reuses_controls(circle_tasks, solved):
+    solver_task, _ = circle_tasks
+    # warm-started from the converged controls, 3 iterations must stay at
+    # (or below) the converged cost
+    p_short = ILQRParams(n_support_points=PARAMS.n_support_points,
+                         dt=PARAMS.dt, opt_iters=3,
+                         sigma_coll=PARAMS.sigma_coll,
+                         sigma_goal_prior=PARAMS.sigma_goal_prior,
+                         r_control=PARAMS.r_control)
+    res2 = ilqr_solve(solver_task.collision_residuals, START, GOAL, p_short,
+                      u_init=solved.controls)
+    assert np.all(np.asarray(res2.costs) <= np.asarray(solved.costs) + 1e-4)
+
+
+def test_ilqr_unbatched_single_problem(circle_tasks):
+    solver_task, _ = circle_tasks
+    start = jnp.array([-0.8, -0.8, 0.0, 0.0], jnp.float32)
+    goal = jnp.array([0.8, 0.8, 0.0, 0.0], jnp.float32)
+    res = ilqr_solve(solver_task.collision_residuals, start, goal, PARAMS)
+    assert res.trajs.shape == (PARAMS.n_support_points, 4)
+    assert res.controls.shape == (PARAMS.n_support_points - 1, 2)
+    assert np.isfinite(float(res.costs))

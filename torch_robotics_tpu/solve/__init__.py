@@ -12,3 +12,4 @@ from .ee_goal import make_ee_goal_terms
 from .btridiag_lanes import block_tridiag_solve_lanes
 from .mpot import MPOTParams, MPOTResult, mpot_solve
 from .hybrid import plan_hybrid
+from .ilqr import ILQRParams, ILQRResult, ilqr_solve
