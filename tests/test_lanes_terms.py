@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from torch_robotics_tpu.envs import EnvDense2D, EnvSpheres3D
-from torch_robotics_tpu.robots import RobotPanda, RobotPointMass
+from torch_robotics_tpu.robots import RobotPanda, RobotPointMass, RobotUR10
 from torch_robotics_tpu.solve import GPMP2Params, gpmp2_init_trajs, gpmp2_solve
 from torch_robotics_tpu.solve.gpmp2 import _obstacle_terms
 from torch_robotics_tpu.tasks import PlanningTask
@@ -13,6 +13,8 @@ from torch_robotics_tpu.tasks import PlanningTask
 @pytest.mark.parametrize("make", [
     lambda: (EnvDense2D(), RobotPointMass.create(), 0.01),
     lambda: (EnvSpheres3D(), RobotPanda.create(), 0.03),
+    # generic KinematicRobot (not RobotPanda) takes the same lanes path
+    lambda: (EnvSpheres3D(), RobotUR10(), 0.03),
 ])
 def test_lanes_terms_match_reference_path(make):
     env, robot, cutoff = make()
@@ -77,3 +79,22 @@ def test_lanes_terms_grid_scene_matches_reference_path():
     np.testing.assert_allclose(jnp.moveaxis(H_l, (0, 1), (-2, -1)), H_ref,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(cost_l, cost_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fk_positions_lanes_matches_aos():
+    from torch_robotics_tpu.ops.lanes_fk import fk_positions_lanes
+    from torch_robotics_tpu.kin.fk import fk_rot_trans
+    robot = RobotPanda.create()
+    model = robot.model
+    key = jax.random.PRNGKey(7)
+    # include out-of-limit values to exercise identical clamping
+    q = jax.random.uniform(key, (3, 5, model.n_dofs), minval=-4.0, maxval=4.0)
+    t_lanes = fk_positions_lanes(model, q)
+    _, t_ref = fk_rot_trans(model, q)
+    np.testing.assert_allclose(np.asarray(t_lanes), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-6)
+    sub = fk_positions_lanes(model, q, link_idxs=[0, 3, model.n_links - 1])
+    np.testing.assert_allclose(
+        np.asarray(sub),
+        np.asarray(t_ref[..., jnp.asarray([0, 3, model.n_links - 1]), :]),
+        rtol=1e-5, atol=1e-6)

@@ -22,8 +22,8 @@ import numpy as np
 from ..kin.model import (JOINT_CONTINUOUS, JOINT_FIXED, JOINT_PRISMATIC,
                          JOINT_REVOLUTE, KinematicModel)
 
-__all__ = ["fk_lanes", "point_jacobians_lanes", "sdf_lanes",
-           "obstacle_terms_lanes_factory"]
+__all__ = ["fk_lanes", "fk_positions_lanes", "point_jacobians_lanes",
+           "sdf_lanes", "obstacle_terms_lanes_factory"]
 
 Vec3 = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 Mat3 = Tuple[Vec3, Vec3, Vec3]
@@ -110,6 +110,27 @@ def fk_lanes(model: KinematicModel, q_cols):
             tp = _matvec3(R_w[p], trans)
             t_w[i] = tuple(tp[k] + t_w[p][k] for k in range(3))
     return R_w, t_w
+
+
+def fk_positions_lanes(model: KinematicModel, q, link_idxs=None):
+    """World link positions via the lanes FK chain: q (..., n_dofs) ->
+    (..., L, 3).
+
+    Same values as kin.fk.fk_link_positions, but every intermediate of the
+    compose chain is an (N,)-vector with the batch in the lane axis — the
+    (B, 3, 3) rotation arrays of the AoS path tile-pad ~40x on TPU, so for
+    position-only queries at large batch this is the fast path.  Only the
+    final (L, 3, N) -> (..., L, 3) repack touches a padded layout, once.
+    """
+    q = jnp.asarray(q)
+    batch = q.shape[:-1]
+    d = q.shape[-1]
+    q_cols = q.reshape((-1, d)).T                       # (d, N)
+    _, t_w = fk_lanes(model, q_cols)
+    links = (list(range(model.n_links)) if link_idxs is None
+             else list(link_idxs))
+    flat = jnp.stack([jnp.stack(t_w[li]) for li in links])   # (L, 3, N)
+    return jnp.moveaxis(flat, -1, 0).reshape(batch + (len(links), 3))
 
 
 def point_jacobians_lanes(model: KinematicModel, R_w, t_w, pts,
@@ -353,7 +374,7 @@ def obstacle_terms_lanes_factory(task):
     PlanningTask.collision_residuals.
     """
     robot = task.robot
-    from ..robots import RobotPanda, RobotPointMass
+    from ..robots import RobotPointMass
     from ..robots.multi_robot import MultiRobot
     df_obj_list = task.df_obj_list
     cutoff = task.obstacle_cutoff_margin
@@ -406,7 +427,11 @@ def obstacle_terms_lanes_factory(task):
             return (obj_pts + self_pts, obj_cols + self_cols,
                     list(range(len(obj_pts) + len(self_pts))))
         ws_dim = 3
-    elif isinstance(robot, RobotPanda):
+    elif hasattr(robot, "model") and not robot.object_interpolate:
+        # any single-model kinematic robot whose collision points are link
+        # origins (+ grasped points): Panda, UR10/KinematicRobot, …
+        # (robots with interpolated collision points, e.g. Planar2Link,
+        # stay on the batched analytic-Jacobian path)
         model = robot.model
         obj_idxs = list(robot.object_coll_idxs)
         self_idxs = (list(robot.self_coll_idxs)
