@@ -4,12 +4,13 @@ The generic ``btridiag`` solver keeps blocks as (..., m, m) matrices; the TPU
 pads each (14, 14) block to an (16, 128) tile — an ~8x waste of bandwidth and
 memory that makes the solve bandwidth-bound.  This module stores every block
 entry as a (B,) vector instead ("batch in the lane dimension"): the blocked
-Cholesky, triangular solves and small matmuls unroll into O(m^3) fused
-elementwise multiply-adds over (B,) lanes — zero padding, pure VPU.  For
-m = 14, H = 64 this is ~10x faster than the tile-padded version.
-
-Used by the GPMP2 Gauss-Newton step for state dims m <= 32 (larger blocks
-fall back to the generic path).
+Cholesky, triangular solves and small matmuls are "reduce form" —
+broadcast-multiply + jnp.sum over the contraction axis, never a dot_general
+(whose B-major output layout would force a transpose per scan step) — over
+(B,) lanes: zero padding, pure VPU.  For m = 14, H = 64 this is ~10x faster
+than the tile-padded version, and the reduce form is both 1.47x faster and
+6.4x fewer stablehlo lines than full scalar unrolling
+(benchmarks/solver_ab.py).
 """
 from __future__ import annotations
 
@@ -22,45 +23,63 @@ __all__ = ["block_tridiag_solve_lanes"]
 _SCAN_UNROLL = 1  # >1 multiplies the already-unrolled body; compile cost outweighs dispatch savings
 
 
+# The small-matrix contractions are expressed as broadcast-multiply +
+# jnp.sum over the contraction axis ("reduce form") rather than einsum OR
+# full scalar unrolling:
+#  - einsum lowers to dot_general with batching_dims=[B-axis], whose TPU
+#    output layout is B-MAJOR (tensor<Bx14x14>) — XLA then transposes back
+#    to lanes layout inside every scan step (measured 4x slower);
+#  - full scalar unrolling (the previous design) keeps everything fusable
+#    but costs O(m^3) jaxpr equations: 22.8k stablehlo lines at m=14, which
+#    dominated bench first-compile/trace time AND ran slower;
+#  - the reduce form keeps the B-minor layout (never a dot_general), is
+#    O(m^2) equations (3.6k lines at m=14), and measured FASTER:
+#    1.80 vs 2.64 ms/solve at H=64, m=14, B=1024 (benchmarks/solver_ab.py).
+
+
 def _chol_lanes(A):
-    """Unrolled Cholesky of (m, m, B): returns lower L with L @ L^T = A."""
+    """Cholesky of (m, m, B): returns lower L with L @ L^T = A.
+
+    Row-sequential; the inner dot over k<j is one reduce per (i, j) entry.
+    """
     m = A.shape[0]
     L = [[None] * m for _ in range(m)]
     for i in range(m):
         for j in range(i + 1):
             s = A[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][j] = jnp.sqrt(s)
-            else:
-                L[i][j] = s / L[j][j]
+            if j:
+                Li = jnp.stack([L[i][k] for k in range(j)])
+                Lj = jnp.stack([L[j][k] for k in range(j)])
+                s = s - jnp.sum(Li * Lj, axis=0)
+            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
     rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[0, 0])
                        for j in range(m)]) for i in range(m)]
     return jnp.stack(rows)
 
 
 def _trsm_lower_lanes(L, B_mat):
-    """Solve L X = B for X, L lower (m, m, Bv), B (m, n, Bv) — unrolled."""
-    m, n = B_mat.shape[0], B_mat.shape[1]
-    X = [None] * m
+    """Solve L X = B for X, L lower (m, m, Bv), B (m, n, Bv)."""
+    m = B_mat.shape[0]
+    X = []
     for i in range(m):
         s = B_mat[i]
-        for k in range(i):
-            s = s - L[i, k][None, :] * X[k]
-        X[i] = s / L[i, i][None, :]
+        if i:
+            prefix = jnp.stack(X) if i > 1 else X[0][None]
+            s = s - jnp.sum(L[i, :i, None, :] * prefix, axis=0)
+        X.append(s / L[i, i][None, :])
     return jnp.stack(X)
 
 
 def _trsv_lower_lanes(L, b):
     """Solve L x = b, L lower (m, m, Bv), b (m, Bv)."""
     m = b.shape[0]
-    x = [None] * m
+    x = []
     for i in range(m):
         s = b[i]
-        for k in range(i):
-            s = s - L[i, k] * x[k]
-        x[i] = s / L[i, i]
+        if i:
+            prefix = jnp.stack(x) if i > 1 else x[0][None]
+            s = s - jnp.sum(L[i, :i] * prefix, axis=0)
+        x.append(s / L[i, i])
     return jnp.stack(x)
 
 
@@ -70,59 +89,27 @@ def _trsv_upper_lanes(LT_rows, b):
     x = [None] * m
     for i in reversed(range(m)):
         s = b[i]
-        for k in range(i + 1, m):
-            # (L^T)[i, k] = L[k, i]
-            s = s - LT_rows[k, i] * x[k]
+        if i < m - 1:
+            # (L^T)[i, k] = L[k, i] for k > i
+            suffix = jnp.stack(x[i + 1:]) if m - i - 1 > 1 else x[i + 1][None]
+            s = s - jnp.sum(LT_rows[i + 1:, i] * suffix, axis=0)
         x[i] = s / LT_rows[i, i]
     return jnp.stack(x)
 
 
-# The small-matrix contractions are unrolled into elementwise multiply-add
-# chains rather than einsum: einsum lowers to dot_general with
-# batching_dims=[B-axis], whose TPU output layout is B-MAJOR
-# (tensor<Bx14x14>) — XLA then transposes back to lanes layout inside
-# every scan step.  Unrolled chains keep the whole body elementwise and
-# fusable (measured: 39.6 -> see bench history in CLAUDE.md).
-
-
 def _matmul_T_lanes(A, B_mat):
-    """A^T @ B for (k, m, Bv) x (k, n, Bv) -> (m, n, Bv), unrolled."""
-    k, m = A.shape[0], A.shape[1]
-    n = B_mat.shape[1]
-    rows = []
-    for i in range(m):
-        row = []
-        for j in range(n):
-            s = A[0, i] * B_mat[0, j]
-            for kk in range(1, k):
-                s = s + A[kk, i] * B_mat[kk, j]
-            row.append(s)
-        rows.append(jnp.stack(row))
-    return jnp.stack(rows)
+    """A^T @ B for (k, m, Bv) x (k, n, Bv) -> (m, n, Bv), one reduce."""
+    return jnp.sum(A[:, :, None, :] * B_mat[:, None, :, :], axis=0)
 
 
 def _matvec_T_lanes(A, x):
-    """A^T @ x for (k, m, Bv) x (k, Bv) -> (m, Bv), unrolled."""
-    k, m = A.shape[0], A.shape[1]
-    out = []
-    for i in range(m):
-        s = A[0, i] * x[0]
-        for kk in range(1, k):
-            s = s + A[kk, i] * x[kk]
-        out.append(s)
-    return jnp.stack(out)
+    """A^T @ x for (k, m, Bv) x (k, Bv) -> (m, Bv), one reduce."""
+    return jnp.sum(A * x[:, None, :], axis=0)
 
 
 def _matvec_lanes(A, x):
-    """A @ x for (m, k, Bv) x (k, Bv) -> (m, Bv), unrolled."""
-    m, k = A.shape[0], A.shape[1]
-    out = []
-    for i in range(m):
-        s = A[i, 0] * x[0]
-        for kk in range(1, k):
-            s = s + A[i, kk] * x[kk]
-        out.append(s)
-    return jnp.stack(out)
+    """A @ x for (m, k, Bv) x (k, Bv) -> (m, Bv), one reduce."""
+    return jnp.sum(A * x[None, :, :], axis=1)
 
 
 def block_tridiag_solve_lanes(D, U, b):
