@@ -24,6 +24,17 @@ def test_lanes_matches_dense():
     np.testing.assert_allclose(x, x_dense, rtol=1e-3, atol=1e-4)
 
 
+def test_lanes_matches_generic_m40():
+    # multi-robot-sized blocks (q_dim=20 -> m=40): the reduce-form block ops
+    # keep the graph O(m^2), so m=40 now routes to the lanes solver
+    # (solve/gpmp2.py _LANES_SOLVE_MAX_M)
+    H, m = 8, 40
+    D, U, b = make_spd_btd(jax.random.PRNGKey(3), H, m, batch=(3,))
+    x_gen = block_tridiag_solve(D, U, b)
+    x_lanes = block_tridiag_solve_lanes(D, U, b)
+    np.testing.assert_allclose(x_lanes, x_gen, rtol=1e-3, atol=1e-4)
+
+
 def test_lanes_broadcast_unbatched_DU():
     H, m = 8, 4
     D, U, b = make_spd_btd(jax.random.PRNGKey(2), H, m)

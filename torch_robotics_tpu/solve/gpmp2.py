@@ -60,14 +60,14 @@ class GPMP2Params:
         return cls(**kwargs)
 
 
-# largest state dim routed to the fully-unrolled lanes solver.  Measured on
-# the 3-arm multi-robot system (m=40, B=256, H=32, one v5e chip): the
-# unrolled lanes solve hits 2,322 solves/s steady but costs 344 s of cold
-# compile (the m^3 unrolled Cholesky graph); the tiled-generic fallback
-# (jnp.linalg.cholesky + solve_triangular, (40,128) tile padding) compiles
-# in seconds AND runs 12% faster (2,609 solves/s) — at m=40 the blocks are
-# large enough that tile padding stops dominating.  m<=32 (single robots)
-# stays on the lanes solver, where it is ~10x the tiled path.
+# largest state dim routed to the lanes solver.  STANDALONE, the reduce-
+# form lanes solve at m=40 measures 5.4x faster than the tiled fallback
+# (15.4 vs 83.1 ms/solve at H=64, B=256; /tmp A/B 2026-08-17) — but END TO
+# END the 3-arm multi-robot MPC (config 4) measures 2,505 solves/s tiled
+# vs 2,420 lanes: the obstacle-terms graph dominates that config and the
+# in-context solve cost difference vanishes, so the smaller-graph tiled
+# path stays the default above 32.  Revisit if a solve-bound m>32 workload
+# appears.
 _LANES_SOLVE_MAX_M = 32
 
 
@@ -187,10 +187,9 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
         x_l = solve_lanes_core(D_l, U_l, b_l)                       # (H, m, B)
         delta = jnp.transpose(x_l, (2, 0, 1))
     else:
-        # large state blocks (multi-robot): the unrolled lanes Cholesky
-        # graph grows as m^3 and explodes axon remote-compile time (~6 min
-        # at m=40); the tiled generic solver pads (m, m) blocks to (m, 128)
-        # tiles but compiles in seconds
+        # very large state blocks: the reduce-form lanes Cholesky graph
+        # grows as m^2 equations; past the cap the tiled generic solver
+        # (pads (m, m) blocks to (m, 128) tiles) takes over
         from .btridiag import block_tridiag_solve
         D_b = jnp.transpose(D_l, (3, 0, 1, 2))                      # (B,H,m,m)
         b_b = jnp.transpose(b_l, (2, 0, 1))                        # (B, H, m)
@@ -220,7 +219,8 @@ def _gpmp2_step_impl(residual_fn, theta, start_state, goal_state,
             [D[..., :-1, :, :],
              (D[..., -1, :, :] + H_ee)[..., None, :, :]], axis=-3)
     # lane-vectorized solver for small state blocks (zero tile padding)
-    solver = block_tridiag_solve_lanes if m <= 32 else block_tridiag_solve
+    solver = (block_tridiag_solve_lanes if m <= _LANES_SOLVE_MAX_M
+              else block_tridiag_solve)
     delta = solver(D, U, -g)
     theta_next = theta + params.step_size * delta
     return theta_next, jnp.sum(cost_obs, axis=-1)
