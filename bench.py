@@ -114,13 +114,16 @@ def main():
     def timed(fn):
         np.asarray(fn(q))          # warm up / compile; real round-trip drain
         best = float("inf")
-        for _ in range(N_REPEATS):
+        for _ in range(N_REPEATS + 2):
             t0 = time.perf_counter()
             np.asarray(fn(q))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    K_LO, K_HI = 4, 32
+    # wide K spread: the K-difference cancels dispatch+RTT, and a large
+    # K_HI - K_LO keeps tunnel-latency jitter small relative to the
+    # differenced kernel time (run-to-run spread was +-20% at K_HI=32)
+    K_LO, K_HI = 4, 64
     per_batch_s = (timed(chained_fk(K_HI)) - timed(chained_fk(K_LO))) \
         / (K_HI - K_LO)
     print(json.dumps({

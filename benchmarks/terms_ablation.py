@@ -84,13 +84,16 @@ def main():
         def loop_fk_jac(K):
             def body(qq, _):
                 R_w, t_w = LF.fk_lanes(model, qq)
-                pts_arr = jnp.stack(
-                    [jnp.stack([t_w[li][k] for li in used_links])
-                     for k in range(3)])
-                J = LF.point_jacobians_lanes_arr(model, R_w, t_w, pts_arr,
-                                                 used_links, q_cols=qq)
-                coupl = jnp.sum(J[:, 0, 0, :], axis=0)
-                return qq + EPS * coupl[None, :], J[0, 0, 0, 0]
+                pts = [t_w[li] for li in used_links]
+                J = LF.point_jacobians_lanes(model, R_w, t_w, pts,
+                                             used_links, q_cols=qq)
+                coupl = None
+                for cols in J:
+                    for col in cols:
+                        if col is not None:
+                            coupl = (col[0] if coupl is None
+                                     else coupl + col[0])
+                return qq + EPS * coupl[None, :], coupl[0]
             f = jax.jit(lambda qq: jax.lax.scan(body, qq, None, length=K)[1])
             return f, q
 
