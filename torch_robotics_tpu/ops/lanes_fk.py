@@ -112,25 +112,35 @@ def fk_lanes(model: KinematicModel, q_cols):
     return R_w, t_w
 
 
-def fk_positions_lanes(model: KinematicModel, q, link_idxs=None):
+def fk_positions_lanes(model: KinematicModel, q, link_idxs=None,
+                       extra_points=None):
     """World link positions via the lanes FK chain: q (..., n_dofs) ->
-    (..., L, 3).
+    (..., L [+ E], 3).
 
     Same values as kin.fk.fk_link_positions, but every intermediate of the
     compose chain is an (N,)-vector with the batch in the lane axis — the
     (B, 3, 3) rotation arrays of the AoS path tile-pad ~40x on TPU, so for
-    position-only queries at large batch this is the fast path.  Only the
-    final (L, 3, N) -> (..., L, 3) repack touches a padded layout, once.
+    position-only queries at large batch this is the fast path (measured
+    43x at B=65536).  Only the final (L, 3, N) -> (..., L, 3) repack
+    touches a padded layout, once.
+
+    extra_points: optional list of (link_idx, (3,) local point) — each is
+    transformed by that link's world frame and appended after the links
+    (grasped-object collision points, robot_panda.py:155-168 semantics).
     """
     q = jnp.asarray(q)
     batch = q.shape[:-1]
     d = q.shape[-1]
     q_cols = q.reshape((-1, d)).T                       # (d, N)
-    _, t_w = fk_lanes(model, q_cols)
+    R_w, t_w = fk_lanes(model, q_cols)
     links = (list(range(model.n_links)) if link_idxs is None
              else list(link_idxs))
-    flat = jnp.stack([jnp.stack(t_w[li]) for li in links])   # (L, 3, N)
-    return jnp.moveaxis(flat, -1, 0).reshape(batch + (len(links), 3))
+    cols = [t_w[li] for li in links]
+    for li, p in (extra_points or []):
+        w = _matvec3(R_w[li], tuple(p[k] for k in range(3)))
+        cols.append(tuple(w[k] + t_w[li][k] for k in range(3)))
+    flat = jnp.stack([jnp.stack(c) for c in cols])      # (L+E, 3, N)
+    return jnp.moveaxis(flat, -1, 0).reshape(batch + (len(cols), 3))
 
 
 def point_jacobians_lanes(model: KinematicModel, R_w, t_w, pts,

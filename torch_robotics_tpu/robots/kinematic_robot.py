@@ -74,8 +74,10 @@ class KinematicRobot(RobotAPI):
         return 3
 
     def fk_map_collision(self, q):
-        _, t = fk_rot_trans(self.model, q)
-        return t
+        # lane-layout FK: the AoS (B, 3, 3) rotation path tile-pads ~40x on
+        # TPU (ops/lanes_fk.py); values identical
+        from ..ops.lanes_fk import fk_positions_lanes
+        return fk_positions_lanes(self.model, q)
 
     def fk_map_collision_with_jac(self, q):
         from ..kin.fk import point_jacobians

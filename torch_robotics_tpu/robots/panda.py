@@ -140,17 +140,17 @@ class RobotPanda(RobotAPI):
 
         All link positions (URDF order) plus, when grasping, the object's
         collision base points transformed by the grasped-object frame
-        (robot_panda.py:138-170).
+        (robot_panda.py:138-170).  Routed through the lane-layout FK chain
+        (ops/lanes_fk.py) — the AoS (B, 3, 3) rotation path tile-pads ~40x
+        on TPU; values identical.
         """
-        R, t = fk_rot_trans(self.model, q)
-        if self.grasped_n_points == 0:
-            return t
-        gi = self.model.link_index(self.link_name_grasped_object)
-        R_g = R[..., gi, :, :]
-        t_g = t[..., gi, :]
-        pts = (jnp.einsum("...ij,gj->...gi", R_g, self.grasped_points)
-               + t_g[..., None, :])
-        return jnp.concatenate([t, pts], axis=-2)
+        from ..ops.lanes_fk import fk_positions_lanes
+        extra = None
+        if self.grasped_n_points > 0:
+            gi = self.model.link_index(self.link_name_grasped_object)
+            extra = [(gi, self.grasped_points[g])
+                     for g in range(self.grasped_n_points)]
+        return fk_positions_lanes(self.model, q, extra_points=extra)
 
     def fk_map_collision_with_jac(self, q):
         """Analytic point Jacobians for all collision points from one FK pass
