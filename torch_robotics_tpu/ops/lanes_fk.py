@@ -143,6 +143,42 @@ def fk_positions_lanes(model: KinematicModel, q, link_idxs=None,
     return jnp.moveaxis(flat, -1, 0).reshape(batch + (len(cols), 3))
 
 
+def fk_points_jacobians_lanes(model: KinematicModel, q, extra_points=None):
+    """AoS-compatible (points (..., P, 3), J (..., P, 3, d)) computed via
+    the lanes FK chain + lanes analytic point Jacobians.
+
+    Same values as kin.fk.fk_rot_trans + kin.fk.point_jacobians (incl.
+    clamped-joint column zeroing), but the whole chain runs with the batch
+    in the lane axis; only the final repacks touch padded layouts, once.
+    P = all links, plus optional ``extra_points`` [(link_idx, (3,) local
+    point)] appended (grasped-object collision points).
+    """
+    q = jnp.asarray(q)
+    batch = q.shape[:-1]
+    d = q.shape[-1]
+    q_cols = q.reshape((-1, d)).T                        # (d, N)
+    R_w, t_w = fk_lanes(model, q_cols)
+    pts = [t_w[li] for li in range(model.n_links)]
+    link_ids = list(range(model.n_links))
+    for li, p in (extra_points or []):
+        w = _matvec3(R_w[li], tuple(p[k] for k in range(3)))
+        pts.append(tuple(w[k] + t_w[li][k] for k in range(3)))
+        link_ids.append(li)
+    J = point_jacobians_lanes(model, R_w, t_w, pts, link_ids, q_cols=q_cols)
+    zeros = jnp.zeros_like(q_cols[0])
+    pts_flat = jnp.stack([jnp.stack(p) for p in pts])    # (P, 3, N)
+    J_flat = jnp.stack([
+        jnp.stack([
+            jnp.stack([J[p][j][k] if J[p][j] is not None else zeros
+                       for j in range(d)])               # (d, N)
+            for k in range(3)])                          # (3, d, N)
+        for p in range(len(pts))])                       # (P, 3, d, N)
+    P = len(pts)
+    pts_out = jnp.moveaxis(pts_flat, -1, 0).reshape(batch + (P, 3))
+    J_out = jnp.moveaxis(J_flat, -1, 0).reshape(batch + (P, 3, d))
+    return pts_out, J_out
+
+
 def point_jacobians_lanes(model: KinematicModel, R_w, t_w, pts,
                           point_link_idx: Sequence[int], q_cols=None):
     """Analytic point Jacobians in lanes layout.

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.pytrees import pytree_dataclass, static_field
-from ..kin import KinematicModel, fk_all_links, fk_rot_trans, robot_zoo
+from ..kin import KinematicModel, fk_all_links, robot_zoo
 from .base import RobotAPI, build_object_margins, build_self_collision_pairs
 
 __all__ = ["KinematicRobot", "RobotUR10"]
@@ -80,11 +80,8 @@ class KinematicRobot(RobotAPI):
         return fk_positions_lanes(self.model, q)
 
     def fk_map_collision_with_jac(self, q):
-        from ..kin.fk import point_jacobians
-        R, t = fk_rot_trans(self.model, q)
-        J = point_jacobians(self.model, R, t, t,
-                            list(range(self.model.n_links)), q=q)
-        return t, J
+        from ..ops.lanes_fk import fk_points_jacobians_lanes
+        return fk_points_jacobians_lanes(self.model, q)
 
     def get_EE_pose(self, q):
         return fk_all_links(self.model, q, link_list=[self.link_name_ee])

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geom.sdf import _pytree_dataclass, static_field
-from ..kin import KinematicModel, fk_all_links, fk_rot_trans, robot_zoo
+from ..kin import KinematicModel, fk_all_links, robot_zoo
 from .base import RobotAPI, build_object_margins, build_self_collision_pairs
 
 __all__ = ["RobotPanda", "PANDA_OBJECT_COLL_LINKS", "PANDA_OBJECT_COLL_MARGINS",
@@ -154,21 +154,14 @@ class RobotPanda(RobotAPI):
 
     def fk_map_collision_with_jac(self, q):
         """Analytic point Jacobians for all collision points from one FK pass
-        (points (..., P, 3), J (..., P, 3, 7))."""
-        from ..kin.fk import point_jacobians
-        R, t = fk_rot_trans(self.model, q)
-        point_link_idx = list(range(self.model.n_links))
-        pts = t
+        (points (..., P, 3), J (..., P, 3, 7)), via the lanes chain."""
+        from ..ops.lanes_fk import fk_points_jacobians_lanes
+        extra = None
         if self.grasped_n_points > 0:
             gi = self.model.link_index(self.link_name_grasped_object)
-            R_g = R[..., gi, :, :]
-            t_g = t[..., gi, :]
-            pts_g = (jnp.einsum("...ij,gj->...gi", R_g, self.grasped_points)
-                     + t_g[..., None, :])
-            pts = jnp.concatenate([t, pts_g], axis=-2)
-            point_link_idx = point_link_idx + [gi] * self.grasped_n_points
-        J = point_jacobians(self.model, R, t, pts, point_link_idx, q=q)
-        return pts, J
+            extra = [(gi, self.grasped_points[g])
+                     for g in range(self.grasped_n_points)]
+        return fk_points_jacobians_lanes(self.model, q, extra_points=extra)
 
     # ------------------------------------------------------------------
     # EE pose accessors (robot_panda.py:172-184)
