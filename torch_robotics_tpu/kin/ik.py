@@ -155,26 +155,39 @@ def inverse_kinematics(
 @partial(jax.jit, static_argnames=("link_name", "max_iters", "restart_every"))
 def _ik_gn_run(model, H_target, link_name, q0, lower, upper, max_iters,
                damping, se3_eps, key, restart_every):
-    from ..core.se3 import log_SO3
-    from .fk import fk_all_links, geometric_jacobian
+    """DLS scan with every per-iteration FK / Jacobian / 6x6 solve in the
+    lane layout (ops/lanes_fk.py): the AoS path paid three tile-padded
+    (B, L, 3, 3) FK passes per iteration.  Values match the AoS step."""
+    from ..ops.lanes_fk import _matvec3, _static_q_map, fk_lanes
+    from ..solve.btridiag_lanes import (_chol_lanes, _trsv_lower_lanes,
+                                        _trsv_upper_lanes)
+    from .model import JOINT_PRISMATIC
 
-    def twist_error(q):
-        """6-D task-space error (rotation log, translation)."""
-        H = fk_all_links(model, q, link_list=[link_name])[..., 0, :, :]
-        R_err = jnp.matmul(H_target[..., :3, :3],
-                           jnp.swapaxes(H[..., :3, :3], -1, -2))
-        W = log_SO3(R_err)               # skew matrix (..., 3, 3)
-        w = jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
-        v = H_target[..., :3, 3] - H[..., :3, 3]
-        return jnp.concatenate([v, w], axis=-1)
+    ee = model.link_index(link_name)
+    ctrl = list(model.controlled_link_idxs())
+    anc = model.ancestry_matrix()[ee]
+    prism = [model.joint_types[li] == JOINT_PRISMATIC for li in ctrl]
+    d = model.n_dofs
+    # target entries as lane scalars (shape () or (B,) — broadcasts)
+    Rt = [[H_target[..., i, j] for j in range(3)] for i in range(3)]
+    tt = [H_target[..., i, 3] for i in range(3)]
 
-    eye = jnp.eye(model.n_dofs, dtype=q0.dtype)
+    def fk_ee_lanes(q):
+        R_w, t_w = fk_lanes(model, q.T)
+        return R_w, t_w, R_w[ee], t_w[ee]
+
+    def se3_err_lanes(R, t):
+        # SE3_distance parity: w_rot*(1 - cos(angle(R Rt^T))) + w_pos*|t-tt|
+        tr = sum(R[i][j] * Rt[i][j] for i in range(3) for j in range(3))
+        d2 = sum(jnp.square(t[k] - tt[k]) for k in range(3))
+        return (1.0 - (tr - 1.0) * 0.5) + jnp.sqrt(d2)
 
     def step(carry, i):
         q, valid, q_best, iters_to_valid = carry
-        new_valid, _ = ik_valid_mask(model, q, H_target, link_name,
-                                     lower=lower, upper=upper,
-                                     se3_eps=se3_eps)
+        _, _, R, t = fk_ee_lanes(q)
+        err = se3_err_lanes(R, t)
+        in_limits = jnp.all((q >= lower) & (q <= upper), axis=-1)
+        new_valid = in_limits & (err < se3_eps)
         first = new_valid & ~valid
         q_best = jnp.where(first[:, None], q, q_best)
         iters_to_valid = jnp.where(first, i, iters_to_valid)
@@ -186,15 +199,54 @@ def _ik_gn_run(model, H_target, link_name, q0, lower, upper, max_iters,
         mask = (do_restart & ~valid)[:, None]
         q = jnp.where(mask, lower + u * (upper - lower), q)
 
-        # damped least squares: dq = J^T (J J^T + lam I)^{-1} e
-        e = twist_error(q)                                  # (B, 6)
-        lin, ang = geometric_jacobian(model, q, link_name)  # (B, 3, d) x2
-        J = jnp.concatenate([lin, ang], axis=-2)            # (B, 6, d)
-        JJt = jnp.einsum("bik,bjk->bij", J, J) \
-            + damping * jnp.eye(6, dtype=q.dtype)
-        y = jnp.linalg.solve(JJt, e[..., None])[..., 0]
-        dq = jnp.einsum("bik,bi->bk", J, y)
-        q = jnp.clip(q + dq, lower, upper)
+        # twist error e = (t_err, log_SO3(Rt R^T)) in lanes
+        R_w, t_w, R, t = fk_ee_lanes(q)
+        R_err = [[sum(Rt[i][k] * R[j][k] for k in range(3))
+                  for j in range(3)] for i in range(3)]
+        trR = jnp.clip((R_err[0][0] + R_err[1][1] + R_err[2][2] - 1.0) * 0.5,
+                       -1.0, 1.0)
+        theta = jnp.arccos(trR)
+        scale = theta / (2.0 * jnp.sin(theta) + 1.0e-14)
+        e = [tt[0] - t[0], tt[1] - t[1], tt[2] - t[2],
+             scale * (R_err[2][1] - R_err[1][2]),
+             scale * (R_err[0][2] - R_err[2][0]),
+             scale * (R_err[1][0] - R_err[0][1])]
+        e = [jnp.broadcast_to(ek, q.shape[:1]) for ek in e]
+
+        # geometric Jacobian columns (6 rows x d cols of (B,) lanes)
+        J = [[None] * d for _ in range(6)]
+        for j, li in enumerate(ctrl):
+            if not anc[j]:
+                continue
+            axis = tuple(model.joint_axis[li, k] for k in range(3))
+            z = _matvec3(R_w[li], axis)
+            if prism[j]:
+                for r in range(3):
+                    J[r][j] = z[r]
+            else:
+                dx = tuple(t[k] - t_w[li][k] for k in range(3))
+                J[0][j] = z[1] * dx[2] - z[2] * dx[1]
+                J[1][j] = z[2] * dx[0] - z[0] * dx[2]
+                J[2][j] = z[0] * dx[1] - z[1] * dx[0]
+                for r in range(3):
+                    J[3 + r][j] = z[r]
+
+        # damped least squares: dq = J^T (J J^T + lam I)^{-1} e, all lanes
+        zero = jnp.zeros_like(e[0])
+        JJt = jnp.stack([
+            jnp.stack([
+                sum((J[a][c] * J[b][c] for c in range(d)
+                     if J[a][c] is not None and J[b][c] is not None),
+                    start=zero) + (damping if a == b else 0.0)
+                for b in range(6)])
+            for a in range(6)])                              # (6, 6, B)
+        L = _chol_lanes(JJt)
+        y = _trsv_upper_lanes(L, _trsv_lower_lanes(L, jnp.stack(e)))
+        dq = jnp.stack([
+            sum((J[a][c] * y[a] for a in range(6)
+                 if J[a][c] is not None), start=zero)
+            for c in range(d)])                              # (d, B)
+        q = jnp.clip(q + dq.T, lower, upper)
         return (q, valid, q_best, iters_to_valid), None
 
     valid0 = jnp.zeros(q0.shape[0], bool)
