@@ -170,9 +170,13 @@ def config_multi_robot(small: bool):
     from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
     from torch_robotics_tpu.tasks import PlanningTask
     robots = [RobotPanda.create(), RobotPanda.create(), RobotUR10()]
-    poses = [(jnp.eye(3), jnp.array([0.0, 0.45, 0.0])),
-             (z_rot(jnp.array(jnp.pi)), jnp.array([0.0, -0.45, 0.0])),
-             (jnp.eye(3), jnp.array([-0.6, 0.0, 0.0]))]
+    # base poses clear of the EnvSpheres3D obstacles (the spheres at
+    # (0, +-0.3..0.45, *) permanently intersect base-adjacent links of
+    # arms mounted at +-0.45 — that scenario has NO collision-free
+    # configuration)
+    poses = [(jnp.eye(3), jnp.array([0.2, 0.72, 0.0])),
+             (z_rot(jnp.array(jnp.pi)), jnp.array([0.2, -0.72, 0.0])),
+             (jnp.eye(3), jnp.array([-0.75, 0.0, 0.0]))]
     robot = MultiRobot.create(robots, poses)
     env = EnvSpheres3D()
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.02)
@@ -181,8 +185,12 @@ def config_multi_robot(small: bool):
     steps = 5 if small else 30
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    q0 = jnp.clip(jnp.zeros((B, d)) + 0.05 * jax.random.normal(k1, (B, d)),
-                  robot.q_min, robot.q_max)
+    # collision-free starts (the joint 20-dof free space is ~0.2% of the
+    # limit box; the lanes-FK collision check makes the big budget cheap);
+    # goals are moderate free-start perturbations reachable within the
+    # measured step budget
+    q0, _ = task.random_coll_free_q(k1, n_samples=B,
+                                    max_samples=B * 1024)
     qg = jnp.clip(q0 + 0.4 * jax.random.normal(k2, (B, d)),
                   robot.q_min, robot.q_max)
     start = jnp.concatenate([q0, jnp.zeros_like(q0)], -1)

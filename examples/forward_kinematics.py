@@ -2,6 +2,11 @@
 
 Mirrors /root/reference/examples/forward_kinematics.py.
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,11 @@
 Runs a batch of MPC problems to goal configurations, executes the resulting
 state rollouts through the PD harness, and reports success statistics.
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,11 @@
 The minimum end-to-end slice (SURVEY.md §7): batched GPMP2 solve of B
 trajectories, collision/free split, metrics, rendering.
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 

@@ -81,6 +81,24 @@ def test_lanes_terms_grid_scene_matches_reference_path():
     np.testing.assert_allclose(cost_l, cost_ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("zoo_name", ["shadow_hand", "allegro_hand",
+                                      "tiago_dual_holo"])
+def test_fk_positions_lanes_matches_aos_branching_trees(zoo_name):
+    # branching kinematic trees (hands, dual-arm torso): the lanes chain
+    # follows parent pointers, not a serial chain — verify against the AoS
+    # path on the tree robots
+    from torch_robotics_tpu.kin import robot_zoo
+    from torch_robotics_tpu.kin.fk import fk_rot_trans
+    from torch_robotics_tpu.ops.lanes_fk import fk_positions_lanes
+    model = getattr(robot_zoo, zoo_name)()
+    q = jax.random.uniform(jax.random.PRNGKey(11), (4, model.n_dofs),
+                           minval=-2.0, maxval=2.0)
+    t_lanes = fk_positions_lanes(model, q)
+    _, t_ref = fk_rot_trans(model, q)
+    np.testing.assert_allclose(np.asarray(t_lanes), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fk_positions_lanes_matches_aos():
     from torch_robotics_tpu.ops.lanes_fk import fk_positions_lanes
     from torch_robotics_tpu.kin.fk import fk_rot_trans
