@@ -39,12 +39,28 @@ class RRTConnectParams:
         return cls(**kwargs)
 
 
-def _segment_free(task, a, b, n_points):
-    """Collision-check n_points along [a, b] in one device call."""
+def _make_segment_checker(task, n_points):
+    """Segment collision checker running on the in-process CPU backend.
+
+    The RRT tree loop issues thousands of tiny (n_points, d) collision
+    queries with host-side control flow between them; on a remote
+    accelerator (axon) each round-trip costs milliseconds, which made the
+    tree search ~100x slower than the checks themselves.  Jitting the SAME
+    ``task.compute_collision`` on the local CPU backend keeps semantics
+    identical at ~0.05 ms per query (measured).
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        coll_jit = jax.jit(task.compute_collision)
     w = np.linspace(0.0, 1.0, n_points)[:, None]
-    pts = a[None] * (1 - w) + b[None] * w
-    coll = np.asarray(task.compute_collision(jnp.asarray(pts, jnp.float32)))
-    return not bool(coll.any())
+
+    def segment_free(a, b):
+        pts = a[None] * (1 - w) + b[None] * w
+        with jax.default_device(cpu):
+            coll = np.asarray(coll_jit(jnp.asarray(pts, jnp.float32)))
+        return not bool(coll.any())
+
+    return segment_free
 
 
 def rrt_connect(task, start_q, goal_q,
@@ -70,6 +86,9 @@ def rrt_connect(task, start_q, goal_q,
     samples = np.asarray(samples)[: int(n_valid)].reshape(-1, d)
     if len(samples) == 0:
         return None
+
+    segment_free = _make_segment_checker(
+        task, params.n_collision_points_per_segment)
 
     # two trees: (nodes, parents); tree A roots at start, tree B at goal.
     # nearest-neighbor queries go through the native kd-tree
@@ -98,8 +117,7 @@ def rrt_connect(task, start_q, goal_q,
         """Returns ('reached'|'advanced'|'trapped', new node index)."""
         i_near, q_near = nearest(tree, q_target)
         q_new = steer(q_near, q_target)
-        if not _segment_free(task, q_near, q_new,
-                             params.n_collision_points_per_segment):
+        if not segment_free(q_near, q_new):
             return "trapped", -1
         tree["nodes"].append(q_new)
         tree["parents"].append(i_near)
