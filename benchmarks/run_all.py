@@ -59,12 +59,18 @@ def config_fk_ik(small: bool):
     # damped-least-squares IK with resample-on-stall (the production
     # solver; the reference-parity Adam IK remains inverse_kinematics)
     iters = 60 if small else 150
+
+    def run_ik(k):
+        return inverse_kinematics_gn(model, H_target, link_name="ee_link",
+                                     batch_size=B_ik, max_iters=iters,
+                                     se3_eps=5e-2, restart_every=25,
+                                     key=jax.random.PRNGKey(k))
+
+    import numpy as _np
+    _np.asarray(run_ik(1).q)             # warm up (compile) + queue drain
     t0 = time.perf_counter()
-    res = inverse_kinematics_gn(model, H_target, link_name="ee_link",
-                                batch_size=B_ik, max_iters=iters,
-                                se3_eps=5e-2, restart_every=25,
-                                key=jax.random.PRNGKey(1))
-    jax.block_until_ready(res.q)
+    res = run_ik(1)
+    _np.asarray(res.q)
     dt_ik = time.perf_counter() - t0
     return {
         "fk_rollouts_per_s": round(B / dt_fk, 1),

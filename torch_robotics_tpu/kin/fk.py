@@ -91,21 +91,42 @@ def fk_all_links(model: KinematicModel, q, link_list: Optional[Sequence[str]] = 
     q: (..., n_dofs) -> (..., n_links, 4, 4) in URDF file order, matching the
     reference ``compute_forward_kinematics_all_links`` (robot_tree.py:267-301).
     ``link_list`` selects/orders a subset of links.
+
+    Computed via the lane-layout chain (ops/lanes_fk.py): the AoS
+    (B, L, 3, 3) rotation math tile-pads ~40x on TPU; only the final repack
+    into the (..., L, 4, 4) output touches the padded layout (measured
+    15.7x at B=65536, parity ~2e-7).
     """
-    R, t = fk_rot_trans(model, q, base_rot=base_rot, base_trans=base_trans)
-    H = pack_homogeneous(R, t)
-    if link_list is not None:
-        idxs = np.array([model.link_index(n) for n in link_list])
-        H = H[..., idxs, :, :]
-    return H
+    from ..ops.lanes_fk import _matmul3, _matvec3, _scalar_mat3, fk_lanes
+    q = jnp.asarray(q)
+    batch = q.shape[:-1]
+    d = q.shape[-1]
+    R_w, t_w = fk_lanes(model, q.reshape((-1, d)).T)
+    if base_rot is not None or base_trans is not None:
+        Rb = _scalar_mat3(jnp.eye(3, dtype=q.dtype)
+                          if base_rot is None else jnp.asarray(base_rot))
+        tb = (jnp.zeros((3,), q.dtype)
+              if base_trans is None else jnp.asarray(base_trans))
+        tb = tuple(tb[k] for k in range(3))
+        R_w = [_matmul3(Rb, R) for R in R_w]
+        t_w = [tuple(v + tb[k] for k, v in enumerate(_matvec3(Rb, t)))
+               for t in t_w]
+    links = (range(model.n_links) if link_list is None
+             else [model.link_index(n) for n in link_list])
+    rows = [jnp.stack([R_w[li][i][j] for i in range(3) for j in range(3)]
+                      + [t_w[li][k] for k in range(3)])         # (12, N)
+            for li in links]
+    flat = jnp.moveaxis(jnp.stack(rows), -1, 0)                 # (N, L, 12)
+    L = len(rows)
+    R = flat[..., :9].reshape(batch + (L, 3, 3))
+    t = flat[..., 9:].reshape(batch + (L, 3))
+    return pack_homogeneous(R, t)
 
 
 def fk_link_positions(model: KinematicModel, q, link_idxs=None):
     """World positions of (a subset of) links: q (..., n_dofs) -> (..., L, 3)."""
-    _, t = fk_rot_trans(model, q)
-    if link_idxs is not None:
-        t = t[..., jnp.asarray(link_idxs), :]
-    return t
+    from ..ops.lanes_fk import fk_positions_lanes
+    return fk_positions_lanes(model, q, link_idxs=link_idxs)
 
 
 def fk_with_velocities(model: KinematicModel, q, qd):
