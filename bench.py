@@ -105,8 +105,11 @@ def main():
         def loop(q):
             def body(qq, _):
                 t = fk_positions_lanes(robot.model, qq)
-                # coupling too small to change values, defeats DCE
-                return qq + 1e-30 * t[:, -1, :1], None
+                # coupling too small to change values, defeats DCE; the
+                # sum touches EVERY output element so no link's position
+                # computation can be dead-code-eliminated (a single-element
+                # coupling let XLA drop non-ancestor links' outputs)
+                return qq + 1e-30 * jnp.sum(t, axis=(1, 2))[:, None], None
             qq, _ = jax.lax.scan(body, q, None, length=K)
             return qq[0, 0]
         return loop

@@ -195,8 +195,9 @@ def config_multi_robot(small: bool):
     # limit box; the lanes-FK collision check makes the big budget cheap);
     # goals are moderate free-start perturbations reachable within the
     # measured step budget
-    q0, _ = task.random_coll_free_q(k1, n_samples=B,
-                                    max_samples=B * 1024)
+    q0, n_free = task.random_coll_free_q(k1, n_samples=B,
+                                         max_samples=B * 1024)
+    n_free = int(n_free)
     qg = jnp.clip(q0 + 0.4 * jax.random.normal(k2, (B, d)),
                   robot.q_min, robot.q_max)
     start = jnp.concatenate([q0, jnp.zeros_like(q0)], -1)
@@ -219,6 +220,10 @@ def config_multi_robot(small: bool):
     return {
         "arms": 3, "q_dim": d, "batch": B, "mpc_steps": steps,
         "mutual_pairs": len(robot.self_pair_idxs),
+        # rows past n_free_starts were filled with the first raw candidate
+        # by the fixed-budget sampler (random_coll_free_q docstring) — a
+        # shortfall here means some starts may be in collision
+        "n_free_starts": min(n_free, B),
         "wall_s": round(dt, 2),
         "solves_per_s": round(B * steps / dt, 1),
         "mean_final_goal_dist": round(float(info["dist_to_goal"][-1].mean()), 3),

@@ -1,9 +1,10 @@
 """A/B: unrolled vs reduce-form block ops in the lanes btridiag solver.
 
-The current solver unrolls every small matrix op into scalar (B,)-lane
-multiply-add chains — fastest measured runtime, but the scan body is ~10k
-jaxpr equations (22.8k stablehlo lines), which dominates bench first-compile
-(trace+lower is proportional to equation count).
+Historical record + reproduction harness for the measurement that moved
+`solve/btridiag_lanes.py` to reduce form.  The PREVIOUS production solver
+unrolled every small matrix op into scalar (B,)-lane multiply-add chains —
+that original implementation is embedded here as v0 (it no longer exists in
+the package); the production solver is now the reduce form (v2).
 
 The reduce form keeps the SAME lanes layout (B minor, never a dot_general,
 so no lane-axis transposes) but expresses each contraction as one
@@ -11,13 +12,14 @@ broadcast-multiply + one jnp.sum over the contraction axis:
 
     S = sum_k W[k,i,:] * W[k,j,:]  ->  jnp.sum(W[:,:,None,:] * W[:,None,:,:], 0)
 
-2 equations instead of m^2 k.  This file measures runtime (chained on-device
-iteration differencing — block_until_ready does not drain the axon queue)
-and compile/lower time for:
+2 equations instead of m^2 k.  Measured (2026-08-17, 1 x v5e, H=64, m=14,
+B=1024): v0 2.64 ms/solve at 22.8k stablehlo lines; v2 1.80 ms/solve at
+3.6k lines — faster AND 6.4x smaller.  Runtime via chained on-device
+iteration differencing (block_until_ready does not drain the axon queue).
 
-  v0  current fully-unrolled solver
+  v0  fully-unrolled solver (the pre-2026-08-17 production implementation)
   v1  reduce-form matmul_T/matvec only (Cholesky + triangular solves unrolled)
-  v2  reduce-form everywhere (incl. triangular-solve inner sums)
+  v2  reduce-form everywhere == the current production solve_lanes_core
 
 Run: python benchmarks/solver_ab.py
 """
@@ -36,82 +38,114 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 
-from torch_robotics_tpu.solve.btridiag_lanes import (
-    _chol_lanes, _trsm_lower_lanes, _trsv_lower_lanes, _trsv_upper_lanes,
-    solve_lanes_core)
+from torch_robotics_tpu.solve.btridiag_lanes import solve_lanes_core
 
 K_LO, K_HI = 4, 20
 EPS = 1e-30
 
 
-# ---------------- reduce-form block ops (lanes layout, no dot_general) ----
+# -------- v0: the original fully-unrolled block ops (verbatim copy of the
+# pre-reduce-form production implementation; O(m^3) jaxpr equations) -------
 
-def _matmul_T_reduce(A, B_mat):
-    """A^T @ B: (k, m, Bv) x (k, n, Bv) -> (m, n, Bv) via one reduce."""
-    return jnp.sum(A[:, :, None, :] * B_mat[:, None, :, :], axis=0)
-
-
-def _matvec_T_reduce(A, x):
-    """A^T @ x: (k, m, Bv) x (k, Bv) -> (m, Bv)."""
-    return jnp.sum(A * x[:, None, :], axis=0)
-
-
-def _matvec_reduce(A, x):
-    """A @ x: (m, k, Bv) x (k, Bv) -> (m, Bv)."""
-    return jnp.sum(A * x[None, :, :], axis=1)
-
-
-def _trsm_lower_reduce(L, B_mat):
-    """Solve L X = B, rows sequential but inner k-sum as one reduce."""
-    m = B_mat.shape[0]
-    X = []
-    for i in range(m):
-        s = B_mat[i]
-        if i:
-            prefix = jnp.stack(X) if i > 1 else X[0][None]
-            s = s - jnp.sum(L[i, :i, None, :] * prefix, axis=0)
-        X.append(s / L[i, i][None, :])
-    return jnp.stack(X)
-
-
-def _trsv_lower_reduce(L, b):
-    m = b.shape[0]
-    x = []
-    for i in range(m):
-        s = b[i]
-        if i:
-            prefix = jnp.stack(x) if i > 1 else x[0][None]
-            s = s - jnp.sum(L[i, :i] * prefix, axis=0)
-        x.append(s / L[i, i])
-    return jnp.stack(x)
-
-
-def _trsv_upper_reduce(L, b):
-    m = b.shape[0]
-    x = [None] * m
-    for i in reversed(range(m)):
-        s = b[i]
-        if i < m - 1:
-            suffix = jnp.stack(x[i + 1:]) if m - i - 1 > 1 else x[i + 1][None]
-            s = s - jnp.sum(L[i + 1:, i] * suffix, axis=0)
-        x[i] = s / L[i, i]
-    return jnp.stack(x)
-
-
-def _chol_reduce(A):
+def _chol_unrolled(A):
     m = A.shape[0]
     L = [[None] * m for _ in range(m)]
     for i in range(m):
         for j in range(i + 1):
             s = A[i, j]
-            if j:
-                Li = jnp.stack([L[i][k] for k in range(j)])
-                Lj = jnp.stack([L[j][k] for k in range(j)])
-                s = s - jnp.sum(Li * Lj, axis=0)
-            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
     rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[0, 0])
                        for j in range(m)]) for i in range(m)]
     return jnp.stack(rows)
+
+
+def _trsm_lower_unrolled(L, B_mat):
+    m = B_mat.shape[0]
+    X = [None] * m
+    for i in range(m):
+        s = B_mat[i]
+        for k in range(i):
+            s = s - L[i, k][None, :] * X[k]
+        X[i] = s / L[i, i][None, :]
+    return jnp.stack(X)
+
+
+def _trsv_lower_unrolled(L, b):
+    m = b.shape[0]
+    x = [None] * m
+    for i in range(m):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i, k] * x[k]
+        x[i] = s / L[i, i]
+    return jnp.stack(x)
+
+
+def _trsv_upper_unrolled(LT_rows, b):
+    m = b.shape[0]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = b[i]
+        for k in range(i + 1, m):
+            s = s - LT_rows[k, i] * x[k]
+        x[i] = s / LT_rows[i, i]
+    return jnp.stack(x)
+
+
+def _matmul_T_unrolled(A, B_mat):
+    k, m = A.shape[0], A.shape[1]
+    n = B_mat.shape[1]
+    rows = []
+    for i in range(m):
+        row = []
+        for j in range(n):
+            s = A[0, i] * B_mat[0, j]
+            for kk in range(1, k):
+                s = s + A[kk, i] * B_mat[kk, j]
+            row.append(s)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _matvec_T_unrolled(A, x):
+    k, m = A.shape[0], A.shape[1]
+    out = []
+    for i in range(m):
+        s = A[0, i] * x[0]
+        for kk in range(1, k):
+            s = s + A[kk, i] * x[kk]
+        out.append(s)
+    return jnp.stack(out)
+
+
+def _matvec_unrolled(A, x):
+    m, k = A.shape[0], A.shape[1]
+    out = []
+    for i in range(m):
+        s = A[i, 0] * x[0]
+        for kk in range(1, k):
+            s = s + A[i, kk] * x[kk]
+        out.append(s)
+    return jnp.stack(out)
+
+
+# -------- reduce-form primitives (same math as production) ---------------
+
+def _matmul_T_reduce(A, B_mat):
+    return jnp.sum(A[:, :, None, :] * B_mat[:, None, :, :], axis=0)
+
+
+def _matvec_T_reduce(A, x):
+    return jnp.sum(A * x[:, None, :], axis=0)
+
+
+def _matvec_reduce(A, x):
+    return jnp.sum(A * x[None, :, :], axis=1)
 
 
 def make_core(chol, trsv_lo, trsm_lo, mm_T, mv_T, mv, trsv_up):
@@ -162,18 +196,19 @@ def main():
     U = jnp.broadcast_to((-0.5 * jnp.eye(m))[None, :, :, None], (H, m, m, 1))
     b = jax.random.normal(k2, (H, m, B))
 
-    core_v1 = make_core(_chol_lanes, _trsv_lower_lanes, _trsm_lower_lanes,
-                        _matmul_T_reduce, _matvec_T_reduce, _matvec_reduce,
-                        _trsv_upper_lanes)
-    core_v2 = make_core(_chol_reduce, _trsv_lower_reduce, _trsm_lower_reduce,
-                        _matmul_T_reduce, _matvec_T_reduce, _matvec_reduce,
-                        _trsv_upper_reduce)
-    variants = [("v0 unrolled", solve_lanes_core),
+    core_v0 = make_core(_chol_unrolled, _trsv_lower_unrolled,
+                        _trsm_lower_unrolled, _matmul_T_unrolled,
+                        _matvec_T_unrolled, _matvec_unrolled,
+                        _trsv_upper_unrolled)
+    core_v1 = make_core(_chol_unrolled, _trsv_lower_unrolled,
+                        _trsm_lower_unrolled, _matmul_T_reduce,
+                        _matvec_T_reduce, _matvec_reduce,
+                        _trsv_upper_unrolled)
+    variants = [("v0 unrolled", core_v0),
                 ("v1 reduce mm/mv", core_v1),
-                ("v2 reduce all", core_v2)]
+                ("v2 reduce all (prod)", solve_lanes_core)]
 
     with jax.default_matmul_precision("float32"):
-        # correctness first
         x_ref = None
         for name, core in variants:
             x = jax.jit(core)(D, U, b)

@@ -26,8 +26,10 @@ def test_lanes_matches_dense():
 
 def test_lanes_matches_generic_m40():
     # multi-robot-sized blocks (q_dim=20 -> m=40): the reduce-form block ops
-    # keep the graph O(m^2), so m=40 now routes to the lanes solver
-    # (solve/gpmp2.py _LANES_SOLVE_MAX_M)
+    # keep the graph O(m^2) so m=40 is tractable standalone; production
+    # still routes m>32 to the tiled solver (_LANES_SOLVE_MAX_M=32 —
+    # measured faster end-to-end, see solve/gpmp2.py), this test covers
+    # the lanes solver's correctness at large m
     H, m = 8, 40
     D, U, b = make_spd_btd(jax.random.PRNGKey(3), H, m, batch=(3,))
     x_gen = block_tridiag_solve(D, U, b)

@@ -157,3 +157,23 @@ def test_stretch_fk_golden_prismatic():
     assert list(model.link_names) == list(g["link_names"])
     H = fk_all_links(model, jnp.asarray(g["q"]))
     np.testing.assert_allclose(H, g["link_tensor"], atol=2e-5)
+
+
+def test_fk_all_links_batched_base_pose():
+    """Per-sample base poses (B, 3, 3)/(B, 3) flatten into the lane axis —
+    regression: the first lanes-backed fk_all_links only handled a single
+    (3, 3) base and crashed on batched bases."""
+    from torch_robotics_tpu.core import z_rot
+    model = robot_zoo.franka_panda()
+    B = 5
+    q = jax.random.uniform(jax.random.PRNGKey(3), (B, model.n_dofs),
+                           minval=-1.0, maxval=1.0)
+    angles = jnp.linspace(0.0, 2.0, B)
+    base_R = jax.vmap(z_rot)(angles)                       # (B, 3, 3)
+    base_t = jnp.stack([angles, -angles, 0.1 * angles], -1)  # (B, 3)
+    H = fk_all_links(model, q, base_rot=base_R, base_trans=base_t)
+    # reference: per-sample AoS path (q.ndim == 1 branch)
+    for i in range(B):
+        H_i = fk_all_links(model, q[i], base_rot=base_R[i],
+                           base_trans=base_t[i])
+        np.testing.assert_allclose(H[i], H_i, rtol=1e-5, atol=1e-6)

@@ -92,22 +92,45 @@ def fk_all_links(model: KinematicModel, q, link_list: Optional[Sequence[str]] = 
     reference ``compute_forward_kinematics_all_links`` (robot_tree.py:267-301).
     ``link_list`` selects/orders a subset of links.
 
-    Computed via the lane-layout chain (ops/lanes_fk.py): the AoS
-    (B, L, 3, 3) rotation math tile-pads ~40x on TPU; only the final repack
-    into the (..., L, 4, 4) output touches the padded layout (measured
-    15.7x at B=65536, parity ~2e-7).
+    Batched calls compute via the lane-layout chain (ops/lanes_fk.py): the
+    AoS (B, L, 3, 3) rotation math tile-pads ~40x on TPU; only the final
+    repack into the (..., L, 4, 4) output touches the padded layout
+    (measured 15.7x at B=65536, parity ~2e-7).  Per-sample calls
+    (q.ndim == 1, e.g. under jax.vmap/jacfwd) keep the AoS path — vmap
+    would batch the lanes scalars into trailing-dim-1 arrays (128x tile
+    padding, exploded graph).
     """
-    from ..ops.lanes_fk import _matmul3, _matvec3, _scalar_mat3, fk_lanes
     q = jnp.asarray(q)
+    if q.ndim == 1:
+        R, t = fk_rot_trans(model, q, base_rot=base_rot,
+                            base_trans=base_trans)
+        H = pack_homogeneous(R, t)
+        if link_list is not None:
+            idxs = np.array([model.link_index(n) for n in link_list])
+            H = H[..., idxs, :, :]
+        return H
+    from ..ops.lanes_fk import _matmul3, _matvec3, _scalar_mat3, fk_lanes
     batch = q.shape[:-1]
     d = q.shape[-1]
     R_w, t_w = fk_lanes(model, q.reshape((-1, d)).T)
     if base_rot is not None or base_trans is not None:
-        Rb = _scalar_mat3(jnp.eye(3, dtype=q.dtype)
-                          if base_rot is None else jnp.asarray(base_rot))
-        tb = (jnp.zeros((3,), q.dtype)
-              if base_trans is None else jnp.asarray(base_trans))
-        tb = tuple(tb[k] for k in range(3))
+        Rb_arr = (jnp.eye(3, dtype=q.dtype)
+                  if base_rot is None else jnp.asarray(base_rot))
+        tb_arr = (jnp.zeros((3,), q.dtype)
+                  if base_trans is None else jnp.asarray(base_trans))
+        # batched base poses flatten into the lane axis ((N,) entries
+        # broadcast against the (N,) FK lanes)
+        if Rb_arr.ndim > 2:
+            Rb_flat = Rb_arr.reshape((-1, 3, 3))
+            Rb = tuple(tuple(Rb_flat[:, i, j] for j in range(3))
+                       for i in range(3))
+        else:
+            Rb = _scalar_mat3(Rb_arr)
+        if tb_arr.ndim > 1:
+            tb_flat = tb_arr.reshape((-1, 3))
+            tb = tuple(tb_flat[:, k] for k in range(3))
+        else:
+            tb = tuple(tb_arr[k] for k in range(3))
         R_w = [_matmul3(Rb, R) for R in R_w]
         t_w = [tuple(v + tb[k] for k, v in enumerate(_matvec3(Rb, t)))
                for t in t_w]

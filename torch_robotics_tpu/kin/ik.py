@@ -158,7 +158,7 @@ def _ik_gn_run(model, H_target, link_name, q0, lower, upper, max_iters,
     """DLS scan with every per-iteration FK / Jacobian / 6x6 solve in the
     lane layout (ops/lanes_fk.py): the AoS path paid three tile-padded
     (B, L, 3, 3) FK passes per iteration.  Values match the AoS step."""
-    from ..ops.lanes_fk import _matvec3, _static_q_map, fk_lanes
+    from ..ops.lanes_fk import _matvec3, fk_lanes
     from ..solve.btridiag_lanes import (_chol_lanes, _trsv_lower_lanes,
                                         _trsv_upper_lanes)
     from .model import JOINT_PRISMATIC

@@ -134,7 +134,7 @@ def fk_positions_lanes(model: KinematicModel, q, link_idxs=None,
     q_cols = q.reshape((-1, d)).T                       # (d, N)
     R_w, t_w = fk_lanes(model, q_cols)
     links = (list(range(model.n_links)) if link_idxs is None
-             else list(link_idxs))
+             else [int(x) for x in np.asarray(link_idxs)])
     cols = [t_w[li] for li in links]
     for li, p in (extra_points or []):
         w = _matvec3(R_w[li], tuple(p[k] for k in range(3)))

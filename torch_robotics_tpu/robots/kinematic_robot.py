@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.pytrees import pytree_dataclass, static_field
-from ..kin import KinematicModel, fk_all_links, robot_zoo
+from ..kin import KinematicModel, fk_all_links, fk_rot_trans, robot_zoo
 from .base import RobotAPI, build_object_margins, build_self_collision_pairs
 
 __all__ = ["KinematicRobot", "RobotUR10"]
@@ -74,12 +74,23 @@ class KinematicRobot(RobotAPI):
         return 3
 
     def fk_map_collision(self, q):
-        # lane-layout FK: the AoS (B, 3, 3) rotation path tile-pads ~40x on
-        # TPU (ops/lanes_fk.py); values identical
+        # lane-layout FK for batched calls (the AoS (B, 3, 3) rotation path
+        # tile-pads ~40x on TPU, ops/lanes_fk.py); per-sample/vmapped calls
+        # (q.ndim == 1) keep AoS — vmap would batch the lanes scalars into
+        # trailing-dim-1 (B, 1) arrays (128x padding, exploded graph)
+        if jnp.asarray(q).ndim == 1:
+            _, t = fk_rot_trans(self.model, q)
+            return t
         from ..ops.lanes_fk import fk_positions_lanes
         return fk_positions_lanes(self.model, q)
 
     def fk_map_collision_with_jac(self, q):
+        if jnp.asarray(q).ndim == 1:
+            from ..kin.fk import point_jacobians
+            R, t = fk_rot_trans(self.model, q)
+            J = point_jacobians(self.model, R, t, t,
+                                list(range(self.model.n_links)), q=q)
+            return t, J
         from ..ops.lanes_fk import fk_points_jacobians_lanes
         return fk_points_jacobians_lanes(self.model, q)
 

@@ -140,10 +140,15 @@ class RobotPanda(RobotAPI):
 
         All link positions (URDF order) plus, when grasping, the object's
         collision base points transformed by the grasped-object frame
-        (robot_panda.py:138-170).  Routed through the lane-layout FK chain
-        (ops/lanes_fk.py) — the AoS (B, 3, 3) rotation path tile-pads ~40x
-        on TPU; values identical.
+        (robot_panda.py:138-170).  Batched calls route through the
+        lane-layout FK chain (ops/lanes_fk.py) — the AoS (B, 3, 3) rotation
+        path tile-pads ~40x on TPU; values identical.  Per-sample calls
+        (q.ndim == 1, e.g. under jax.vmap) keep the AoS path: the lanes
+        reshape would make every scalar a trailing-dim-1 array, which vmap
+        batches into (B, 1) lanes — 128x tile padding and an exploded graph.
         """
+        if jnp.asarray(q).ndim == 1:
+            return self._fk_map_collision_aos(q)
         from ..ops.lanes_fk import fk_positions_lanes
         extra = None
         if self.grasped_n_points > 0:
@@ -152,9 +157,39 @@ class RobotPanda(RobotAPI):
                      for g in range(self.grasped_n_points)]
         return fk_positions_lanes(self.model, q, extra_points=extra)
 
+    def _fk_map_collision_aos(self, q):
+        from ..kin.fk import fk_rot_trans
+        R, t = fk_rot_trans(self.model, q)
+        if self.grasped_n_points == 0:
+            return t
+        gi = self.model.link_index(self.link_name_grasped_object)
+        R_g = R[..., gi, :, :]
+        t_g = t[..., gi, :]
+        pts = (jnp.einsum("...ij,gj->...gi", R_g, self.grasped_points)
+               + t_g[..., None, :])
+        return jnp.concatenate([t, pts], axis=-2)
+
     def fk_map_collision_with_jac(self, q):
         """Analytic point Jacobians for all collision points from one FK pass
-        (points (..., P, 3), J (..., P, 3, 7)), via the lanes chain."""
+        (points (..., P, 3), J (..., P, 3, 7)); lanes chain for batched
+        calls, AoS for per-sample/vmapped calls (see fk_map_collision)."""
+        if jnp.asarray(q).ndim == 1:
+            from ..kin.fk import fk_rot_trans, point_jacobians
+            R, t = fk_rot_trans(self.model, q)
+            point_link_idx = list(range(self.model.n_links))
+            pts = t
+            if self.grasped_n_points > 0:
+                gi = self.model.link_index(self.link_name_grasped_object)
+                R_g = R[..., gi, :, :]
+                t_g = t[..., gi, :]
+                pts_g = (jnp.einsum("...ij,gj->...gi", R_g,
+                                    self.grasped_points)
+                         + t_g[..., None, :])
+                pts = jnp.concatenate([t, pts_g], axis=-2)
+                point_link_idx = (point_link_idx
+                                  + [gi] * self.grasped_n_points)
+            J = point_jacobians(self.model, R, t, pts, point_link_idx, q=q)
+            return pts, J
         from ..ops.lanes_fk import fk_points_jacobians_lanes
         extra = None
         if self.grasped_n_points > 0:
