@@ -72,3 +72,24 @@ def test_mpc_rollout_sharded_runs(setup):
                                    mpc_params, 10, mesh)
     assert xs.shape == (16, 10, 4)
     assert jnp.isfinite(frac)
+
+
+def test_mpc_rollout_sharded_matches_single_device(setup):
+    """The jitted shard_map MPC rollout is numerically identical to the
+    plain path (8-device mesh, per-problem endpoints)."""
+    task, params = setup
+    mesh = make_mesh()
+    mpc_params = MPCParams(gpmp2=params, iters_per_step=1)
+    key = jax.random.PRNGKey(4)
+    delta = 0.05 * jax.random.normal(key, (16, 2))
+    start_q = jnp.array([-0.9, -0.9]) + delta
+    goal_q = jnp.array([0.9, 0.9]) - delta
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)], -1)
+    goal = jnp.concatenate([goal_q, jnp.zeros_like(goal_q)], -1)
+    xs_plain, _ = mpc_rollout(task.collision_residuals, start, goal,
+                              mpc_params, n_steps=6)
+    xs_sh, _ = mpc_rollout_sharded(
+        task.collision_residuals, shard_batch(start, mesh),
+        shard_batch(goal, mesh), mpc_params, 6, mesh)
+    np.testing.assert_allclose(np.asarray(xs_sh), np.asarray(xs_plain),
+                               rtol=1e-5, atol=1e-5)
