@@ -57,10 +57,15 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
     d = m // 2
     lam = 1.0 / (params.sigma_coll ** 2)
 
+    # batch-polymorphic residuals (PlanningTask) take the batched lanes FK
+    # path (~20x the vmapped per-sample form); plain per-sample fns vmap
+    batched = getattr(residual_fn, "supports_batch", False)
+
     def obstacle_cost(theta):
         q = theta[..., :d]
         q_flat = q.reshape((-1, d))
-        r = jax.vmap(residual_fn)(q_flat)
+        r = (residual_fn(q_flat) if batched
+             else jax.vmap(residual_fn)(q_flat))
         return 0.5 * lam * jnp.sum(jnp.square(r))
 
     def step(theta, _):

@@ -98,7 +98,10 @@ def _obstacle_terms(residual_fn, q, d_state, lam):
     if raj is not None:
         r_flat, J_flat = jax.vmap(raj)(q_flat)
     else:
-        r_flat = jax.vmap(residual_fn)(q_flat)
+        # batch-polymorphic residuals take the batched (lanes) FK path
+        r_flat = (residual_fn(q_flat)
+                  if getattr(residual_fn, "supports_batch", False)
+                  else jax.vmap(residual_fn)(q_flat))
         J_flat = jax.vmap(jax.jacfwd(residual_fn))(q_flat)
     r = r_flat.reshape(q.shape[:-1] + r_flat.shape[-1:])
     J = J_flat.reshape(q.shape[:-1] + J_flat.shape[-2:])

@@ -88,9 +88,14 @@ def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
     lam = 1.0 / (params.sigma_coll ** 2)
     K = params.num_samples
 
+    # batch-polymorphic residuals (PlanningTask) take the batched lanes FK
+    # path (~20x the vmapped per-sample form); plain per-sample fns vmap
+    batched = getattr(residual_fn, "supports_batch", False)
+
     def total_cost(theta):
         q_flat = theta[..., :d].reshape((-1, d))
-        r = jax.vmap(residual_fn)(q_flat)
+        r = (residual_fn(q_flat) if batched
+             else jax.vmap(residual_fn)(q_flat))
         coll = 0.5 * lam * jnp.sum(
             jnp.square(r).reshape(theta.shape[:-2] + (-1,)), axis=-1)
         return coll + _gp_energy(theta, start_state, goal_state, params)

@@ -260,6 +260,11 @@ class PlanningTask:
                 if lanes_terms is not None:
                     residuals.obstacle_terms_lanes = lanes_terms
 
+        # the function is batch-polymorphic (q (..., d) -> (..., P)):
+        # solvers that only need residual VALUES call it on the whole
+        # flattened batch — the batched lanes FK path is ~20x the vmapped
+        # per-sample form on TPU (see robots/panda.py fk_map_collision)
+        residuals.supports_batch = True
         return residuals
 
     def compute_collision_cost(self, x):
