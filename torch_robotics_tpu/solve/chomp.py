@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from .btridiag import block_tridiag_solve
+from .btridiag_lanes import block_tridiag_solve_lanes
 from .gp_prior import gp_prior_terms
+from .gpmp2 import _LANES_SOLVE_MAX_M
 
 __all__ = ["CHOMPParams", "CHOMPResult", "chomp_solve"]
 
@@ -76,9 +78,11 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
         g_obs = jax.grad(obstacle_cost)(theta)
         g = params.weight_prior_cost * g_gp + g_obs
         g = jnp.clip(g, -params.grad_clip, params.grad_clip)
-        # precondition by the smoothness metric (block-tridiagonal solve)
-        delta = block_tridiag_solve(
-            D + 1e-6 * jnp.eye(m, dtype=theta.dtype), U, g)
+        # precondition by the smoothness metric (block-tridiagonal solve;
+        # lanes layout for small blocks like the GPMP2 step)
+        solver = (block_tridiag_solve_lanes if m <= _LANES_SOLVE_MAX_M
+                  else block_tridiag_solve)
+        delta = solver(D + 1e-6 * jnp.eye(m, dtype=theta.dtype), U, g)
         theta = theta - params.step_size * delta
         cost = obstacle_cost(theta)
         return theta, cost
