@@ -62,12 +62,13 @@ class GPMP2Params:
 
 # largest state dim routed to the lanes solver.  STANDALONE, the reduce-
 # form lanes solve at m=40 measures 5.4x faster than the tiled fallback
-# (15.4 vs 83.1 ms/solve at H=64, B=256; /tmp A/B 2026-08-17) — but END TO
-# END the 3-arm multi-robot MPC (config 4) measures 2,505 solves/s tiled
-# vs 2,420 lanes: the obstacle-terms graph dominates that config and the
-# in-context solve cost difference vanishes, so the smaller-graph tiled
-# path stays the default above 32.  Revisit if a solve-bound m>32 workload
-# appears.
+# (15.4 vs 83.1 ms/solve at H=64, B=256) — but IN CONTEXT the multi-robot
+# GN step measures identical at both caps (50.6 ms/iter, chained timing;
+# stage budget: terms 8.5 ms, tiled solve ~41 ms): inside the 191k-equation
+# step graph the lanes m=40 solve loses its standalone advantage (fusion /
+# scheduling at that graph size), so the far-smaller tiled graph
+# (33.9k equations) stays the default above 32.  The m=40 solve is the
+# dominant config-4 cost and the open optimization lever.
 _LANES_SOLVE_MAX_M = 32
 
 
