@@ -232,7 +232,13 @@ def main():
         for name, core in variants:
             def make_loop(K, core=core):
                 def body(bb, _):
-                    x = core(D, U, bb)
+                    # D produced IN-GRAPH per iteration: with a constant D,
+                    # XLA hoists the loop-invariant factorization out of
+                    # the chained loop and only the back-substitution gets
+                    # timed (the original 2.64-vs-1.80 ms numbers had this
+                    # flaw; the end-to-end bench gain was real regardless)
+                    D_in = D * (1.0 + EPS * bb[0, 0, 0])
+                    x = core(D_in, U, bb)
                     return bb + EPS * x, x[-1, 0, 0]
                 f = jax.jit(lambda bb: jax.lax.scan(body, bb, None,
                                                     length=K)[1])

@@ -8,9 +8,9 @@ Cholesky, triangular solves and small matmuls are "reduce form" —
 broadcast-multiply + jnp.sum over the contraction axis, never a dot_general
 (whose B-major output layout would force a transpose per scan step) — over
 (B,) lanes: zero padding, pure VPU.  For m = 14, H = 64 this is ~10x faster
-than the tile-padded version, and the reduce form is both 1.47x faster and
-6.4x fewer stablehlo lines than full scalar unrolling
-(benchmarks/solver_ab.py).
+than the tile-padded version, and the reduce form is both 1.56x faster
+(3.18 vs 2.04 ms/solve, in-graph-D chained timing) and 6.4x fewer stablehlo
+lines than full scalar unrolling (benchmarks/solver_ab.py).
 """
 from __future__ import annotations
 
