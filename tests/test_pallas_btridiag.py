@@ -1,0 +1,41 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_solve_btridiag import make_spd_btd
+from torch_robotics_tpu.ops.pallas_btridiag import (solve_lanes_auto,
+                                                    solve_lanes_pallas)
+from torch_robotics_tpu.solve.btridiag_lanes import solve_lanes_core
+
+
+def _lanes_inputs(key, H, m, B):
+    D, _, b = make_spd_btd(key, H, m, batch=(B,))
+    Dt = jnp.transpose(D, (1, 2, 3, 0))
+    # shared off-diagonal blocks (the GP-prior structure the kernel assumes;
+    # solve_lanes_core broadcasts the trailing batch dim of 1 identically)
+    U_shared = jax.random.normal(jax.random.fold_in(key, 7),
+                                 (H, m, m)) * 0.2
+    Ut = U_shared[:, :, :, None]
+    bt = jnp.transpose(b, (1, 2, 0))
+    return Dt, Ut, bt
+
+
+def test_pallas_solve_matches_lanes_core_interpret():
+    """Interpret-mode kernel parity with the XLA lanes solver (the on-chip
+    kernel is compared in /tmp benchmarks; max err 3e-7 at bench shapes)."""
+    H, m, B = 8, 6, 256
+    Dt, Ut, bt = _lanes_inputs(jax.random.PRNGKey(0), H, m, B)
+    x_ref = solve_lanes_core(Dt, Ut, bt)
+    x_p = solve_lanes_pallas(Dt, Ut, bt, tile_b=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_solve_lanes_auto_cpu_falls_back():
+    # on the CPU test backend the dispatcher must take the XLA path
+    H, m, B = 6, 4, 128
+    Dt, Ut, bt = _lanes_inputs(jax.random.PRNGKey(1), H, m, B)
+    x_auto = solve_lanes_auto(Dt, Ut, bt)
+    x_ref = solve_lanes_core(Dt, Ut, bt)
+    np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: batched block-tridiagonal Cholesky solve, lanes layout.
+
+The XLA lanes solver (solve/btridiag_lanes.py) expresses the sequential
+block sweep as a `lax.scan` whose per-step intermediates round-trip through
+HBM between fusions; the solve is LATENCY-bound on the Cholesky dependency
+chain, not bandwidth or FLOPs.  This kernel keeps the ENTIRE sweep resident
+in VMEM per lane-tile: one grid program handles a (H, m, m, TB) slice of
+the batch, runs the forward factorization + backward substitution with all
+carries/stacks in VMEM scratch, and writes only x back.
+
+Same semantics as solve_lanes_core: D (H, m, m, B), U (H, m, m, 1) with the
+last block unused (shared over the batch — the GP prior's off-diagonal
+block), b (H, m, B) -> x (H, m, B).  SPD blocks, f32.
+
+VMEM budget per program (TB lanes): D and L stacks are H*m*m*TB*4 bytes
+each — at m=14, H=64, TB=128 that is ~6.4 MB apiece, so TB is chosen to
+keep D + L + y + x + scratch within ~14 MB.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["solve_lanes_auto", "solve_lanes_pallas"]
+
+
+def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
+            S_ref, Wy_ref):
+    """Forward factorization + backward substitution, all in VMEM.
+
+    Block entries are (TB,) vectors; the small linear algebra is Python-
+    unrolled over the static m (same op structure as the proven XLA lanes
+    solver, minus the HBM round-trips between steps).
+    """
+    S_ref[:] = jnp.zeros_like(S_ref)
+    Wy_ref[:] = jnp.zeros_like(Wy_ref)
+
+    def fwd_step(k, _):
+        # A = D_k - S  (m, m, TB)
+        A = D_ref[k] - S_ref[:]
+        b_k = b_ref[k] - Wy_ref[:]
+        # Cholesky, row-sequential, entries (TB,)
+        L = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i + 1):
+                s = A[i, j]
+                for t in range(j):
+                    s = s - L[i][t] * L[j][t]
+                if i == j:
+                    L[i][j] = jnp.sqrt(s)
+                else:
+                    L[i][j] = s * pl.reciprocal(L[j][j], approx=False)
+        # y_k = L^{-1} (b_k - Wy)
+        y = [None] * m
+        for i in range(m):
+            s = b_k[i]
+            for t in range(i):
+                s = s - L[i][t] * y[t]
+            y[i] = s * pl.reciprocal(L[i][i], approx=False)
+        # W = L^{-1} U_k  (U entries are per-step scalars, shared over TB)
+        W = [[None] * m for _ in range(m)]
+        for j in range(m):
+            for i in range(m):
+                s = U_ref[k, i, j] + jnp.zeros_like(A[0, 0])
+                for t in range(i):
+                    s = s - L[i][t] * W[t][j]
+                W[i][j] = s * pl.reciprocal(L[i][i], approx=False)
+        # S = W^T W ; Wy = W^T y
+        for i in range(m):
+            for j in range(m):
+                s = W[0][i] * W[0][j]
+                for t in range(1, m):
+                    s = s + W[t][i] * W[t][j]
+                S_ref[i, j] = s
+            s = W[0][i] * y[0]
+            for t in range(1, m):
+                s = s + W[t][i] * y[t]
+            Wy_ref[i] = s
+        # persist L and y for the backward pass
+        for i in range(m):
+            y_ref[k, i] = y[i]
+            for j in range(i + 1):
+                L_ref[k, i, j] = L[i][j]
+        return 0
+
+    jax.lax.fori_loop(0, H, fwd_step, 0, unroll=False)
+
+    # backward: x_H-1 = L^{-T} y; x_k = L^{-T} (y_k - W_k x_{k+1})
+    def bwd_step(idx, _):
+        k = H - 1 - idx
+        L = [[L_ref[k, i, j] for j in range(i + 1)] for i in range(m)]
+        rhs = [y_ref[k, i] for i in range(m)]
+
+        def inner(rhs):
+            x = [None] * m
+            for i in reversed(range(m)):
+                s = rhs[i]
+                for t in range(i + 1, m):
+                    s = s - L_ref[k, t, i] * x[t]
+                x[i] = s * pl.reciprocal(L[i][i], approx=False)
+            for i in range(m):
+                x_ref[k, i] = x[i]
+
+        @pl.when(k == H - 1)
+        def _():
+            inner(rhs)
+
+        @pl.when(k < H - 1)
+        def _():
+            # W_k = L_k^{-1} U_k recomputed (saves an (H,m,m,TB) stack)
+            W = [[None] * m for _ in range(m)]
+            for j in range(m):
+                for i in range(m):
+                    s = U_ref[k, i, j] + jnp.zeros_like(rhs[0])
+                    for t in range(i):
+                        s = s - L[i][t] * W[t][j]
+                    W[i][j] = s * pl.reciprocal(L[i][i], approx=False)
+            rhs2 = []
+            for i in range(m):
+                s = rhs[i]
+                for j in range(m):
+                    s = s - W[i][j] * x_ref[k + 1, j]
+                rhs2.append(s)
+            inner(rhs2)
+        return 0
+
+    jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
+
+
+def solve_lanes_auto(D, U, b):
+    """Dispatch to the Pallas VMEM sweep when profitable, else the XLA
+    lanes solver.
+
+    Pallas requires: TPU backend, a lane tile of >=128 dividing B, and the
+    resident stacks fitting the scoped-VMEM budget.  Measured at the bench
+    shapes (H=64, m=14, B=1024): 1.33 vs 2.04 ms/solve (tile_b=512).
+    """
+    from ..solve.btridiag_lanes import solve_lanes_core
+    H, m, _, B = D.shape
+    if jax.default_backend() == "tpu":
+        for tb in (512, 256, 128):
+            if B % tb:
+                continue
+            # D block (double-buffered) + L stack + y/b/x stacks
+            vmem = (3 * m * m + 3 * m) * H * tb * 4
+            if vmem <= 88 * 1024 * 1024:
+                return solve_lanes_pallas(D, U, b, tile_b=tb)
+    return solve_lanes_core(D, U, b)
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False):
+    """Lane-layout block-tridiagonal SPD solve on a Pallas VMEM sweep.
+
+    D (H, m, m, B), U (H, m, m, 1) (last block unused), b (H, m, B)
+    -> x (H, m, B).  B must be a multiple of ``tile_b``.
+    """
+    H, m, _, B = D.shape
+    assert B % tile_b == 0, (B, tile_b)
+    U3 = U[..., 0]                                  # (H, m, m) shared scalars
+
+    kernel = partial(_kernel, m, H)
+    grid = (B // tile_b,)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, m, B), D.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, m, m, tile_b), D.dtype),   # L stack
+            pltpu.VMEM((H, m, tile_b), D.dtype),      # y stack
+            pltpu.VMEM((m, m, tile_b), D.dtype),      # S carry
+            pltpu.VMEM((m, tile_b), D.dtype),         # Wy carry
+        ],
+        # D block + its pipeline double-buffer + the L stack exceed the
+        # 16 MB default scoped-vmem limit at tile_b=128; v5e has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(D, U3, b)
+    return x

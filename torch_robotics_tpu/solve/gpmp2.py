@@ -188,7 +188,12 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
     # available for very long horizons
     del solve_lanes_bcr
     if m <= _LANES_SOLVE_MAX_M:
-        x_l = solve_lanes_core(D_l, U_l, b_l)                       # (H, m, B)
+        # Pallas VMEM sweep when on TPU at compatible shapes (the XLA scan
+        # round-trips per-step intermediates through HBM; the kernel keeps
+        # the whole sweep resident: 1.33 vs 2.04 ms at the bench shapes),
+        # else the XLA lanes solver
+        from ..ops.pallas_btridiag import solve_lanes_auto
+        x_l = solve_lanes_auto(D_l, U_l, b_l)                       # (H, m, B)
         delta = jnp.transpose(x_l, (2, 0, 1))
     else:
         # very large state blocks: the reduce-form lanes Cholesky graph
