@@ -70,10 +70,14 @@ def fk_rot_trans(model: KinematicModel, q, base_rot=None, base_trans=None):
         Ri = R_loc[..., i, :, :]
         ti = t_loc[..., i, :]
         if p < 0:
+            # base_rot / base_trans are independent (identity / zero
+            # defaults), matching the batched lanes branch in fk_all_links
             if base_rot is not None:
                 Ri = jnp.matmul(base_rot, Ri, precision=_PREC)
-                ti = (jnp.matmul(base_rot, ti[..., None],
-                                 precision=_PREC)[..., 0] + base_trans)
+                ti = jnp.matmul(base_rot, ti[..., None],
+                                precision=_PREC)[..., 0]
+            if base_trans is not None:
+                ti = ti + base_trans
             R_world[i] = Ri
             t_world[i] = ti
         else:
@@ -147,7 +151,18 @@ def fk_all_links(model: KinematicModel, q, link_list: Optional[Sequence[str]] = 
 
 
 def fk_link_positions(model: KinematicModel, q, link_idxs=None):
-    """World positions of (a subset of) links: q (..., n_dofs) -> (..., L, 3)."""
+    """World positions of (a subset of) links: q (..., n_dofs) -> (..., L, 3).
+
+    Per-sample calls (q.ndim == 1, e.g. under jax.vmap/jacfwd) take the AoS
+    chain — vmapping the lanes path batches its scalars into trailing-dim-1
+    arrays (128x tile padding; CLAUDE.md lesson 10).
+    """
+    q = jnp.asarray(q)
+    if q.ndim == 1:
+        _, t = fk_rot_trans(model, q)
+        if link_idxs is not None:
+            t = t[..., np.asarray(link_idxs), :]
+        return t
     from ..ops.lanes_fk import fk_positions_lanes
     return fk_positions_lanes(model, q, link_idxs=link_idxs)
 

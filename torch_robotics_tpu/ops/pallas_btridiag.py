@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_lanes_auto", "solve_lanes_pallas"]
+__all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols"]
+
+import numpy as np
 
 
 def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
@@ -131,6 +133,175 @@ def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
     jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
 
 
+def _kernel_cols(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
+                 S_ref, Wy_ref):
+    """Column-vectorized VMEM sweep for LARGE block sizes (m > ~16).
+
+    The scalar-unrolled ``_kernel`` costs O(m^3) jaxpr equations — ~110k at
+    m=40, which the Mosaic compiler cannot digest (the XLA BCR at m=40
+    already failed to compile, CLAUDE.md).  This variant expresses every
+    block op as O(m) ARRAY ops on (m, TB) / (m, m, TB) VMEM slices:
+    right-looking (rank-1 Schur update) Cholesky, right-looking forward /
+    backward substitution — ~6m equations per forward step (~600 at m=40).
+    Arithmetic is the classic right-looking factorization; masked column
+    extraction keeps rows < j exactly zero so no garbage propagates into
+    the updates.
+    """
+    # row masks built in-kernel (captured jnp constants are not allowed):
+    # masks[j] zeroes rows < j of a column slice
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    masks = [(row_ids >= j).astype(D_ref.dtype) for j in range(m)]
+
+    S_ref[:] = jnp.zeros_like(S_ref)
+    Wy_ref[:] = jnp.zeros_like(Wy_ref)
+
+    def _chol_cols(A):
+        """Right-looking Cholesky of (m, m, TB); returns (columns, inv-diag)."""
+        cols, invs = [], []
+        for j in range(m):
+            dj = jnp.sqrt(A[j, j])
+            inv = pl.reciprocal(dj, approx=False)
+            col = A[:, j] * inv * masks[j]          # (m, TB); row j = dj
+            A = A - col[:, None, :] * col[None, :, :]
+            cols.append(col)
+            invs.append(inv)
+        return cols, invs
+
+    def _trsv(cols, invs, c):
+        """L y = c with L given as columns; c (m, TB)."""
+        ys = []
+        for i in range(m):
+            yi = c[i] * invs[i]
+            ys.append(yi)
+            c = c - cols[i] * yi[None, :]
+        return ys
+
+    def _trsm(cols, invs, X):
+        """L W = X with X (m, m, TB); returns W rows."""
+        rows = []
+        for i in range(m):
+            wi = X[i] * invs[i]
+            rows.append(wi)
+            X = X - cols[i][:, None, :] * wi[None, :, :]
+        return rows
+
+    ones_tb = jnp.ones_like(b_ref[0, 0])            # (TB,)
+
+    def fwd_step(k, _):
+        A = D_ref[k] - S_ref[:]
+        cols, invs = _chol_cols(A)
+        ys = _trsv(cols, invs, b_ref[k] - Wy_ref[:])
+        X0 = U_ref[k][:, :, None] * ones_tb          # (m, m, TB)
+        w_rows = _trsm(cols, invs, X0)
+        S = w_rows[0][:, None, :] * w_rows[0][None, :, :]
+        Wy = w_rows[0] * ys[0][None, :]
+        for t in range(1, m):
+            S = S + w_rows[t][:, None, :] * w_rows[t][None, :, :]
+            Wy = Wy + w_rows[t] * ys[t][None, :]
+        S_ref[:] = S
+        Wy_ref[:] = Wy
+        L_ref[k] = jnp.stack(cols, axis=1)           # L[i, j] = cols[j][i]
+        y_ref[k] = jnp.stack(ys)
+        return 0
+
+    jax.lax.fori_loop(0, H, fwd_step, 0, unroll=False)
+
+    def bwd_step(idx, _):
+        k = H - 1 - idx
+        L = L_ref[k]                                  # (m, m, TB)
+        cols = [L[:, j] for j in range(m)]
+        invs = [pl.reciprocal(L[j, j], approx=False) for j in range(m)]
+
+        def backsub(rhs):
+            # L^T x = rhs; after x_i is known, rhs_j -= L[i, j] x_i (j < i)
+            xs = [None] * m
+            c = rhs
+            for i in reversed(range(m)):
+                xi = c[i] * invs[i]
+                xs[i] = xi
+                c = c - L[i] * xi[None, :]
+            x_ref[k] = jnp.stack(xs)
+
+        @pl.when(k == H - 1)
+        def _():
+            backsub(y_ref[k])
+
+        @pl.when(k < H - 1)
+        def _():
+            X0 = U_ref[k][:, :, None] * ones_tb
+            w_rows = _trsm(cols, invs, X0)
+            W = jnp.stack(w_rows)                     # (m, m, TB)
+            rhs = y_ref[k] - jnp.sum(W * x_ref[k + 1][None, :, :], axis=1)
+            backsub(rhs)
+        return 0
+
+    jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas_cols(D, U, b, tile_b: int = 128,
+                            interpret: bool = False):
+    """Large-m lane-layout block-tridiagonal SPD solve (column kernel).
+
+    Same contract as ``solve_lanes_pallas``; use for m > ~16 where the
+    scalar-unrolled body would explode.  Measured at the config-4 shapes
+    (H=32, m=40, B=256): see benchmarks/btridiag_micro.py.
+    """
+    H, m, _, B = D.shape
+    assert B % tile_b == 0, (B, tile_b)
+    U3 = U[..., 0]
+
+    kernel = partial(_kernel_cols, m, H)
+    grid = (B // tile_b,)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, m, B), D.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, m, m, tile_b), D.dtype),   # L stack
+            pltpu.VMEM((H, m, tile_b), D.dtype),      # y stack
+            pltpu.VMEM((m, m, tile_b), D.dtype),      # S carry
+            pltpu.VMEM((m, tile_b), D.dtype),         # Wy carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(D, U3, b)
+    return x
+
+
+# m at or below which the scalar-unrolled kernel is used (proven at the
+# m=14 bench shapes); above it the column kernel keeps the body compact
+_SCALAR_KERNEL_MAX_M = 16
+
+
+def pallas_tile_for(H: int, m: int, B: int):
+    """Lane tile the Pallas sweep would use at these shapes, or None.
+
+    Budget: D block (+ its pipeline double-buffer) + L stack + y/b/x
+    stacks + S/W scratch within the 100 MB scoped-VMEM limit.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    for tb in (512, 256, 128):
+        if B % tb:
+            continue
+        vmem = (3 * m * m * H + 3 * m * H + 3 * m * m) * tb * 4
+        if vmem <= 88 * 1024 * 1024:
+            return tb
+    return None
+
+
 def solve_lanes_auto(D, U, b):
     """Dispatch to the Pallas VMEM sweep when profitable, else the XLA
     lanes solver.
@@ -141,14 +312,14 @@ def solve_lanes_auto(D, U, b):
     """
     from ..solve.btridiag_lanes import solve_lanes_core
     H, m, _, B = D.shape
-    if jax.default_backend() == "tpu":
-        for tb in (512, 256, 128):
-            if B % tb:
-                continue
-            # D block (double-buffered) + L stack + y/b/x stacks
-            vmem = (3 * m * m + 3 * m) * H * tb * 4
-            if vmem <= 88 * 1024 * 1024:
+    # the Pallas kernels read U as (H, m, m) shared scalars — per-batch
+    # off-diagonal blocks (B > 1) would silently use batch 0's U
+    if U.shape[-1] == 1:
+        tb = pallas_tile_for(H, m, B)
+        if tb is not None:
+            if m <= _SCALAR_KERNEL_MAX_M:
                 return solve_lanes_pallas(D, U, b, tile_b=tb)
+            return solve_lanes_pallas_cols(D, U, b, tile_b=tb)
     return solve_lanes_core(D, U, b)
 
 

@@ -72,7 +72,11 @@ def shard_batch_padded(x, mesh: Mesh, axis_name: str = "batch"):
 # an un-jitted shard_map executes the mapped body op-by-op around the inner
 # pjit instead of compiling ONE program per device (measured 3.4x slower at
 # B=8192 on one chip), and re-jitting a fresh closure per call would
-# retrace every time
+# retrace every time.  NOTE on retention: each cached entry holds its
+# residual_fn (task arrays) and compiled executable for process lifetime,
+# bounded at 64 entries; long-lived processes cycling through many
+# task/mesh configs can call ``_solve_sharded_fn.cache_clear()`` /
+# ``_mpc_rollout_sharded_fn.cache_clear()`` to release them
 @lru_cache(maxsize=64)
 def _solve_sharded_fn(residual_fn, params, mesh, axis_name,
                       per_problem_endpoints, n_valid):

@@ -60,15 +60,14 @@ class GPMP2Params:
         return cls(**kwargs)
 
 
-# largest state dim routed to the lanes solver.  STANDALONE, the reduce-
-# form lanes solve at m=40 measures 5.4x faster than the tiled fallback
-# (15.4 vs 83.1 ms/solve at H=64, B=256) — but IN CONTEXT the multi-robot
-# GN step measures identical at both caps (50.6 ms/iter, chained timing;
-# stage budget: terms 8.5 ms, tiled solve ~41 ms): inside the 191k-equation
-# step graph the lanes m=40 solve loses its standalone advantage (fusion /
-# scheduling at that graph size), so the far-smaller tiled graph
-# (33.9k equations) stays the default above 32.  The m=40 solve is the
-# dominant config-4 cost and the open optimization lever.
+# largest state dim routed to the XLA lanes solver.  Above it, the XLA
+# reduce-form graph grows as m^2 equations and measured no faster in
+# context than the tiled path (50.6 ms/iter either way at m=40, round 2);
+# the m > cap branch instead routes to the Pallas COLUMN kernel on TPU
+# (ops/pallas_btridiag.solve_lanes_pallas_cols: O(m) array ops per block
+# step, whole sweep VMEM-resident — 1.59 vs 41.2 ms/solve at the config-4
+# shapes, benchmarks/solver_m40_ab.py), with the tiled solver as the
+# CPU/incompatible-shape fallback.
 _LANES_SOLVE_MAX_M = 32
 
 
@@ -196,13 +195,26 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
         x_l = solve_lanes_auto(D_l, U_l, b_l)                       # (H, m, B)
         delta = jnp.transpose(x_l, (2, 0, 1))
     else:
-        # very large state blocks: the reduce-form lanes Cholesky graph
-        # grows as m^2 equations; past the cap the tiled generic solver
-        # (pads (m, m) blocks to (m, 128) tiles) takes over
-        from .btridiag import block_tridiag_solve
-        D_b = jnp.transpose(D_l, (3, 0, 1, 2))                      # (B,H,m,m)
-        b_b = jnp.transpose(b_l, (2, 0, 1))                        # (B, H, m)
-        delta = block_tridiag_solve(D_b, U, b_b)
+        # very large state blocks (multi-robot m=40): the Pallas COLUMN
+        # kernel keeps the whole sweep VMEM-resident with an O(m)-equation
+        # body — 1.59 vs 41.2 ms/solve at H=32, m=40, B=256 against the
+        # tiled path (benchmarks/solver_m40_ab.py, in-graph-D chained
+        # timing; parity 6e-7, stable on GN-like 1e8-precision systems)
+        from ..ops.pallas_btridiag import (pallas_tile_for,
+                                           solve_lanes_pallas_cols)
+        B_l = D_l.shape[-1]
+        tb = pallas_tile_for(H, m, B_l)
+        if tb is not None:
+            x_l = solve_lanes_pallas_cols(D_l, U_l, b_l, tile_b=tb)
+            delta = jnp.transpose(x_l, (2, 0, 1))
+        else:
+            # CPU / incompatible shapes: the reduce-form lanes Cholesky
+            # graph grows as m^2 equations; the tiled generic solver
+            # (pads (m, m) blocks to (m, 128) tiles) takes over
+            from .btridiag import block_tridiag_solve
+            D_b = jnp.transpose(D_l, (3, 0, 1, 2))                  # (B,H,m,m)
+            b_b = jnp.transpose(b_l, (2, 0, 1))                    # (B, H, m)
+            delta = block_tridiag_solve(D_b, U, b_b)
     theta_next = theta + params.step_size * delta
     cost_traj = jnp.sum(cost, axis=0)                  # cost is (H, B)
     return theta_next, cost_traj
