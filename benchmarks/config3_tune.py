@@ -1,0 +1,105 @@
+"""Config-3 (Panda/EnvSpheres3D trajopt) iteration-budget + restart tuning.
+
+Round-2 state: 150 fixed GN iterations, 4.31 s, 950 trajs/s, 91.0%
+collision-free.  This sweep measures fraction-free vs iteration count and
+the restart policy (gpmp2_solve_restarts) to pick the production config:
+>= 95% collision-free AND >= 2x trajs/s (VERDICT round 2, item 3).
+
+Run: python benchmarks/config3_tune.py
+"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/trt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from torch_robotics_tpu.envs import EnvSpheres3D
+    from torch_robotics_tpu.kin import fk_all_links
+    from torch_robotics_tpu.robots import RobotPanda
+    from torch_robotics_tpu.solve import (GPMP2Params, gpmp2_solve,
+                                          make_ee_goal_terms)
+    from torch_robotics_tpu.solve.gpmp2 import gpmp2_solve_restarts
+    from torch_robotics_tpu.solve.gp_prior import sample_gp_prior_trajs
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    env = EnvSpheres3D()
+    robot = RobotPanda.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+    B = 4096
+    starts_q, _ = task.random_coll_free_q(jax.random.PRNGKey(10),
+                                          n_samples=1, max_samples=4096)
+    goal_q, _ = task.random_coll_free_q(jax.random.PRNGKey(11),
+                                        n_samples=1, max_samples=4096)
+    H_target = fk_all_links(robot.model, goal_q, link_list=["ee_link"])[0]
+    ee_terms = make_ee_goal_terms(robot, H_target, sigma_ee=1e-3, w_rot=0.2)
+    start = jnp.concatenate([starts_q, jnp.zeros(7)])
+    goal = jnp.concatenate([goal_q, jnp.zeros(7)])
+
+    def params_at(iters):
+        return GPMP2Params(n_support_points=64, dt=0.04, opt_iters=iters,
+                           sigma_start=1e-3, sigma_gp=1e-1,
+                           sigma_goal_prior=1e-2, sigma_coll=5e-4,
+                           step_size=0.8)
+
+    theta0 = sample_gp_prior_trajs(jax.random.PRNGKey(0), start, goal, 64, B,
+                                   0.04, 0.05)
+
+    @jax.jit
+    def free_fn(trajs):
+        return ~task.trajs_collision_masks(trajs)[0]
+
+    def quality(trajs):
+        frac = float(jnp.mean(free_fn(trajs)))
+        q_final = trajs[:, -1, :7]
+        H_final = fk_all_links(robot.model, q_final, link_list=["ee_link"])
+        err = jnp.linalg.norm(H_final[:, 0, :3, 3] - H_target[:3, 3], axis=-1)
+        return frac, float(jnp.median(err))
+
+    # --- fixed-iteration sweep --------------------------------------------
+    for iters in (30, 50, 75, 150):
+        p = params_at(iters)
+        fn = lambda th: gpmp2_solve(task.collision_residuals, th, start,
+                                    goal, p, ee_goal_terms=ee_terms)
+        res = fn(theta0)
+        jax.block_until_ready(res.trajs)
+        t0 = time.perf_counter()
+        res = fn(theta0)
+        np.asarray(res.trajs[0, 0, 0])
+        dt = time.perf_counter() - t0
+        frac, ee_err = quality(res.trajs)
+        print("fixed %3d iters: %.2f s  %7.1f trajs/s  frac_free %.3f  "
+              "ee_med %.4f" % (iters, dt, B / dt, frac, ee_err), flush=True)
+
+    # --- restart policies --------------------------------------------------
+    for it_main, it_restart, rounds in ((50, 30, 1), (50, 30, 2),
+                                        (75, 40, 1), (30, 30, 2)):
+        p = params_at(it_main)
+        fn = lambda th: gpmp2_solve_restarts(
+            task.collision_residuals, th, start, goal, p, free_fn,
+            jax.random.PRNGKey(42), ee_goal_terms=ee_terms,
+            restart_rounds=rounds, restart_iters=it_restart)
+        res = fn(theta0)
+        jax.block_until_ready(res.trajs)
+        t0 = time.perf_counter()
+        res = fn(theta0)
+        np.asarray(res.trajs[0, 0, 0])
+        dt = time.perf_counter() - t0
+        frac, ee_err = quality(res.trajs)
+        print("restart %d+%dx%d:  %.2f s  %7.1f trajs/s  frac_free %.3f  "
+              "ee_med %.4f" % (it_main, it_restart, rounds, dt, B / dt,
+                               frac, ee_err), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,12 @@
-"""Planner-quality benchmark: MPOT vs GPMP2 on EnvGridCircles2D.
+"""Planner-quality benchmark: MPOT vs GPMP2 across the preset envs.
 
-Runs both planners at their reference preset budgets
-(env.get_mpot_params / env.get_gpmp2_params,
-/root/reference/torch_robotics/environments/env_grid_circles_2d.py:64-119)
-from the same GP-prior initializations, and reports fraction of
-collision-free trajectories, smoothness, and path length.
+The reference ships MPOT hyperparameters only for EnvGridCircles2D
+(/root/reference/torch_robotics/environments/env_grid_circles_2d.py:64-119);
+this sweep validates our MPOT (Sinkhorn-step ensemble + guarded smoothing +
+GN polish pipeline) against GPMP2 on FOUR envs — GridCircles2D (reference
+preset), EnvDense2D, EnvNarrowPassageDense2D (2D point mass), and
+EnvSpheres3D (3D point mass) — from the same GP-prior initializations,
+reporting fraction collision-free, smoothness, path length, and wall-clock.
 
 Run: python benchmarks/mpot_vs_gpmp2.py [--small]
 """
@@ -33,60 +35,50 @@ def trajectory_metrics(task, trajs):
             "path_length": round(pl, 3), "smoothness": round(sm, 3)}
 
 
-def main(small=False):
+def run_env(name, task, start, goal, B, mpot_overrides=None):
     from torch_robotics_tpu.envs import EnvGridCircles2D
     from torch_robotics_tpu.robots import RobotPointMass
     from torch_robotics_tpu.solve import (GPMP2Params, gpmp2_init_trajs,
                                           gpmp2_solve)
+    from torch_robotics_tpu.solve.hybrid import plan_mpot_gpmp2
     from torch_robotics_tpu.solve.mpot import MPOTParams, mpot_solve
     from torch_robotics_tpu.tasks import PlanningTask
 
-    env = EnvGridCircles2D(precompute_sdf_obj_fixed=False)
-    robot = RobotPointMass.create()
-    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01)
-    d = robot.q_dim
-    B = 16 if small else 64
-    H = 64
-
-    # the 0.3-pitch circle grid has obstacles exactly at (+-0.9, +-0.9);
-    # diagonal midpoints between circles are free (env sdf ~ +0.11)
-    start = jnp.array([-0.75, -0.75, 0.0, 0.0])
-    goal = jnp.array([0.75, 0.75, 0.0, 0.0])
-
-    # same initialization family for both planners (GP prior samples at the
-    # preset's sigma_gp_init)
-    mpot_preset = env.get_mpot_params(robot)
-    gp_preset = env.get_gpmp2_params(robot)
-    gpmp2_params = GPMP2Params.from_preset(gp_preset)
-    gpmp2_params = GPMP2Params(**{**gpmp2_params.__dict__,
-                                  "num_samples": B})
+    d = task.robot.q_dim
+    gpmp2_params = GPMP2Params.from_preset(
+        task.env.get_gpmp2_params(task.robot))
+    gpmp2_params = GPMP2Params(**{**gpmp2_params.__dict__, "num_samples": B})
     theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), gpmp2_params,
                               start, goal)
 
-    results = {}
+    # MPOT params: the env preset when it ships one (GridCircles2D, the
+    # only one in the reference), else the GridCircles2D-derived defaults
+    # of MPOTParams with per-env overrides
+    try:
+        m_params = MPOTParams.from_preset(
+            {**task.env.get_mpot_params(task.robot),
+             "sigma_start": 1e-3, "sigma_goal": 1e-3})
+    except (NotImplementedError, KeyError):
+        m_params = MPOTParams(sigma_start=1e-3, sigma_goal=1e-3)
+    if mpot_overrides:
+        import dataclasses
+        m_params = dataclasses.replace(m_params, **mpot_overrides)
 
-    # --- GPMP2 at its preset budget and at the polish budget ---
+    results = {}
     for n in (gpmp2_params.opt_iters, 50):
         p = GPMP2Params(**{**gpmp2_params.__dict__, "opt_iters": n})
         t0 = time.perf_counter()
         res = gpmp2_solve(task.collision_residuals, theta0, start, goal, p)
         jax.block_until_ready(res.trajs)
         results[f"gpmp2_{n}"] = {
-            **trajectory_metrics(task, res.trajs),
-            "opt_iters": n,
-            "wall_s": round(time.perf_counter() - t0, 2),
-        }
-
-    # --- MPOT (raw Sinkhorn stage) and the production pipeline ---
-    from torch_robotics_tpu.solve.hybrid import plan_mpot_gpmp2
+            **trajectory_metrics(task, res.trajs), "opt_iters": n,
+            "wall_s": round(time.perf_counter() - t0, 2)}
 
     def state_cost(theta):
         return task._compute_cost(theta[..., :d])
 
-    m_params = MPOTParams.from_preset(
-        {**mpot_preset, "sigma_start": 1e-3, "sigma_goal": 1e-3})
-    task_h = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.01,
-                          clamp_sdf_cost=True)
+    task_h = PlanningTask(env=task.env, robot=task.robot,
+                          obstacle_cutoff_margin=0.01, clamp_sdf_cost=True)
     t0 = time.perf_counter()
     res_m = mpot_solve(state_cost, theta0, start, goal, m_params,
                        hinge_cost_fn=lambda th: task_h._compute_cost(
@@ -95,8 +87,7 @@ def main(small=False):
     results["mpot_raw"] = {
         **trajectory_metrics(task, res_m.trajs),
         "opt_iters": m_params.opt_iters,
-        "wall_s": round(time.perf_counter() - t0, 2),
-    }
+        "wall_s": round(time.perf_counter() - t0, 2)}
 
     t0 = time.perf_counter()
     res_p, _ = plan_mpot_gpmp2(task, theta0, start, goal,
@@ -106,11 +97,47 @@ def main(small=False):
     results["mpot_gpmp2_pipeline"] = {
         **trajectory_metrics(task, res_p.trajs),
         "opt_iters": f"{m_params.opt_iters} OT + 50 GN",
-        "wall_s": round(time.perf_counter() - t0, 2),
-    }
-
-    print(json.dumps(results, indent=1))
+        "wall_s": round(time.perf_counter() - t0, 2)}
+    print(name, json.dumps(results, indent=1), flush=True)
     return results
+
+
+def main(small=False):
+    from torch_robotics_tpu.envs import (EnvDense2D, EnvGridCircles2D,
+                                         EnvNarrowPassageDense2D,
+                                         EnvSpheres3D)
+    from torch_robotics_tpu.robots import RobotPointMass
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    B = 16 if small else 64
+    z = lambda d: jnp.zeros(d)
+    cases = [
+        # (env, robot, start_q, goal_q, mpot overrides)
+        ("EnvGridCircles2D", EnvGridCircles2D(), RobotPointMass.create(),
+         jnp.array([-0.75, -0.75]), jnp.array([0.75, 0.75]), None),
+        ("EnvDense2D", EnvDense2D(), RobotPointMass.create(),
+         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),
+        ("EnvNarrowPassageDense2D", EnvNarrowPassageDense2D(),
+         RobotPointMass.create(),
+         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),
+        ("EnvSpheres3D", EnvSpheres3D(),
+         RobotPointMass.create(q_limits=((-1.,) * 3, (1.,) * 3)),
+         jnp.array([-0.9, -0.9, -0.9]), jnp.array([0.9, 0.9, 0.9]),
+         # 3D: orthoplex polytope probes axis directions; the sphere field
+         # is sparser than the dense-2D boxes, so keep the preset radii
+         {"polytope": "orthoplex"}),
+    ]
+    all_results = {}
+    for name, env, robot, sq, gq, over in cases:
+        task = PlanningTask(env=env, robot=robot,
+                            obstacle_cutoff_margin=0.01)
+        d = robot.q_dim
+        start = jnp.concatenate([sq, z(d)])
+        goal = jnp.concatenate([gq, z(d)])
+        all_results[name] = run_env(name, task, start, goal, B,
+                                    mpot_overrides=over)
+    print(json.dumps(all_results))
+    return all_results
 
 
 if __name__ == "__main__":

@@ -134,3 +134,35 @@ def test_gpmp2_adaptive_early_stop(setup):
         params_fixed)
     assert int(n_f) == 50
     assert bool(jnp.all(jnp.isfinite(trajs_f)))
+
+
+def test_gpmp2_solve_restarts(setup):
+    """Restart policy: failing trajectories get fresh inits and a re-solve;
+    already-free solutions are bit-identical to the plain solve's."""
+    from torch_robotics_tpu.solve import gpmp2_solve_restarts
+
+    env, robot, task, params = setup
+    params = GPMP2Params(**{**params.__dict__, "opt_iters": 40,
+                            "num_samples": 16})
+    start_state = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal_state = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), params, start_state,
+                              goal_state)
+
+    def free_fn(trajs):
+        return ~task.trajs_collision_masks(trajs)[0]
+
+    base = gpmp2_solve(task.collision_residuals, theta0, start_state,
+                       goal_state, params)
+    res = gpmp2_solve_restarts(task.collision_residuals, theta0, start_state,
+                               goal_state, params, free_fn,
+                               jax.random.PRNGKey(7), restart_rounds=1,
+                               restart_iters=20)
+    assert res.trajs.shape == theta0.shape
+    assert bool(jnp.all(jnp.isfinite(res.trajs)))
+    free0 = np.asarray(free_fn(base.trajs))
+    # free solutions are kept untouched
+    np.testing.assert_array_equal(np.asarray(res.trajs)[free0],
+                                  np.asarray(base.trajs)[free0])
+    # restart can only improve (or match) the free fraction
+    assert float(jnp.mean(free_fn(res.trajs))) >= free0.mean()

@@ -54,6 +54,33 @@ def test_visualizer_animation(tmp_path):
     assert (tmp_path / "anim.gif").exists()
 
 
+def test_animate_execution(tmp_path):
+    """Executed-trajectory recording with collision-sphere debug draw
+    (the reference's sim camera + viewer overlay role,
+    motion_planning_envs.py:111-173, 578-621)."""
+    env = EnvSpheres3D()
+    robot = RobotPanda.create()
+    task = PlanningTask(env=env, robot=robot)
+    viz = PlanningVisualizer(task=task)
+    qpos = jnp.tile(jnp.linspace(jnp.zeros(7), 0.3 * jnp.ones(7), 3)[None],
+                    (2, 1, 1))
+    out = viz.animate_execution(
+        qpos, contact=np.array([False, True]),
+        contact_step=np.array([-1, 1]),
+        video_filepath=str(tmp_path / "exec.gif"), anim_time=1.0)
+    assert (tmp_path / "exec.gif").exists()
+
+
+def test_occupancy_map_plot(tmp_path):
+    from torch_robotics_tpu.geom import build_occupancy_map
+    env = EnvDense2D()
+    occ = build_occupancy_map(env.limits, 0.05, env.obj_fixed_list)
+    ax = occ.plot(save_path=str(tmp_path / "occ.png"))
+    assert (tmp_path / "occ.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
 def test_render_panda_3d():
     env = EnvSpheres3D()
     robot = RobotPanda.create()

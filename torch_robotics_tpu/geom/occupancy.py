@@ -62,6 +62,36 @@ class OccupancyMap:
     def compute_cost(self, x):
         return self.get_collisions(x)
 
+    def plot(self, ax=None, save_path=None):
+        """Render the occupancy grid (reference ``OccupancyMap.plot``,
+        occupancy_map.py:146-168): 2D filled contours / 3D voxels.
+
+        Returns the matplotlib axis; saves the figure when ``save_path``.
+        """
+        import matplotlib.pyplot as plt
+        grid = np.asarray(self.map)
+        if ax is None:
+            if self.dim == 2:
+                _, ax = plt.subplots()
+            else:
+                ax = plt.figure().add_subplot(projection="3d")
+        if self.dim == 2:
+            axes = [(np.arange(self.cmap_dim[d]) - self.origin[d])
+                    * self.cell_size for d in range(2)]
+            # contourf(x, y, Z) expects Z[y, x]; the grid is 'ij'-indexed
+            ax.contourf(axes[0], axes[1], np.clip(grid.T, 0, 1), 2,
+                        cmap="Greys")
+        else:
+            coords = np.indices(np.array(grid.shape) + 1, dtype=float)
+            coords = [(coords[d] - self.origin[d]) * self.cell_size
+                      for d in range(3)]
+            ax.voxels(coords[0], coords[1], coords[2], grid > 0,
+                      facecolors="gray", edgecolor="black", shade=False,
+                      alpha=0.05)
+        if save_path is not None:
+            ax.figure.savefig(save_path, dpi=120)
+        return ax
+
 
 def build_occupancy_map(limits, cell_size, obj_list, chunk=8192):
     """Rasterize objects into a binary occupancy grid.

@@ -3,7 +3,7 @@ from .btridiag import (block_tridiag_cholesky, block_tridiag_logdet,
 from .gp_prior import (gp_Q_inv, gp_prior_terms, gp_transition,
                        sample_gp_prior_trajs, straight_line_trajs)
 from .gpmp2 import (GPMP2Params, GPMP2Result, gpmp2_init_trajs, gpmp2_solve,
-                    gpmp2_step)
+                    gpmp2_solve_adaptive, gpmp2_solve_restarts, gpmp2_step)
 from .chomp import CHOMPParams, CHOMPResult, chomp_solve
 from .sampling import SGPMPParams, SGPMPResult, sgpmp_solve
 from .mpc import MPCParams, MPCState, mpc_init, mpc_rollout, mpc_step

@@ -24,7 +24,7 @@ from .btridiag_lanes import block_tridiag_solve_lanes
 from .gp_prior import gp_prior_terms, sample_gp_prior_trajs, straight_line_trajs
 
 __all__ = ["GPMP2Params", "GPMP2Result", "gpmp2_init_trajs", "gpmp2_solve",
-           "gpmp2_solve_adaptive", "gpmp2_step"]
+           "gpmp2_solve_adaptive", "gpmp2_solve_restarts", "gpmp2_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,6 +265,48 @@ def gpmp2_solve(residual_fn: Callable, theta0, start_state, goal_state,
                                      length=params.opt_iters)
     return GPMP2Result(trajs=theta, costs=cost_trace[-1],
                        cost_trace=cost_trace)
+
+
+def gpmp2_solve_restarts(residual_fn: Callable, theta0, start_state,
+                         goal_state, params: GPMP2Params, free_fn: Callable,
+                         key, ee_goal_terms: Callable = None,
+                         restart_rounds: int = 1,
+                         restart_iters: Optional[int] = None) -> GPMP2Result:
+    """GPMP2 with random restarts of collision-failing trajectories.
+
+    The production quality lever for hard scenes: after the main solve,
+    trajectories that ``free_fn`` (e.g. ``lambda t: ~task.
+    trajs_collision_masks(t)[0]``) flags as in collision are re-initialized
+    with fresh GP-prior samples and re-solved for ``restart_iters``
+    iterations (already-free solutions are kept untouched — the re-solve
+    runs the full batch for static shapes, but its results are only adopted
+    for the failures).  Failures are roughly independent across restarts,
+    so k rounds turn a fraction-free p into ~1 - (1-p)^(k+1).
+
+    Each round costs one ``restart_iters``-iteration batch solve; with the
+    iteration budget split (e.g. 50 main + 30 restart instead of 150
+    fixed), this is both faster and higher-quality than one long solve
+    (measured on config 3: see BASELINE.md round 3).
+    """
+    res = gpmp2_solve(residual_fn, theta0, start_state, goal_state, params,
+                      ee_goal_terms)
+    trajs, costs = res.trajs, res.costs
+    B = theta0.shape[0]
+    it_r = (max(params.opt_iters // 2, 1) if restart_iters is None
+            else int(restart_iters))
+    p_r = dataclasses.replace(params, opt_iters=it_r)
+    for _ in range(max(int(restart_rounds), 0)):
+        free = free_fn(trajs)
+        key, k = jax.random.split(key)
+        theta_new = sample_gp_prior_trajs(
+            k, start_state, goal_state, params.n_support_points, B,
+            params.dt, params.sigma_gp_init)
+        theta_init = jnp.where(free[:, None, None], trajs, theta_new)
+        res_r = gpmp2_solve(residual_fn, theta_init, start_state, goal_state,
+                            p_r, ee_goal_terms)
+        trajs = jnp.where(free[:, None, None], trajs, res_r.trajs)
+        costs = jnp.where(free, costs, res_r.costs)
+    return GPMP2Result(trajs=trajs, costs=costs, cost_trace=res.cost_trace)
 
 
 @partial(jax.jit, static_argnames=("residual_fn", "params", "ee_goal_terms"))

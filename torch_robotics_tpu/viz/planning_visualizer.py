@@ -14,7 +14,7 @@ import numpy as np
 
 from ..core.utils import to_numpy
 from .render_env import create_fig_and_axes, render_env
-from .render_robot import render_robot_trajectories
+from .render_robot import render_robot, render_robot_trajectories
 
 __all__ = ["PlanningVisualizer", "create_fig_and_axes"]
 
@@ -83,6 +83,43 @@ class PlanningVisualizer:
             ax.set_title(f"iter {idxs[i]}")
 
         self._animate(draw_frame, n_frames, video_filepath, anim_time)
+
+    def animate_execution(self, qpos_executed, contact=None,
+                          contact_step=None, video_filepath="execution.mp4",
+                          anim_time=5.0, draw_links_spheres=True,
+                          max_robots: int = 8, **kwargs):
+        """Record EXECUTED (physics-integrated) trajectories to mp4/gif.
+
+        Fills the reference's sim-camera recording + debug-draw role
+        (isaac_gym_envs/motion_planning_envs.py:111-173 camera frames to
+        video; :578-621 collision-sphere / EE-frame viewer overlay) for the
+        MuJoCo adapter: pass ``MujocoExecutionResult.qpos_executed`` (B, H,
+        d) with its ``contact``/``contact_step`` arrays.  Robots are drawn
+        at each executed step with their collision spheres and EE frame
+        (kinematic-tree robots); robots whose physics rollout reported
+        contact turn red from their contact step on.  The offscreen
+        renderer is matplotlib — this image has no GL library for MuJoCo's
+        native renderer.
+        """
+        qpos = np.atleast_3d(to_numpy(qpos_executed))[:max_robots]
+        B, H, _ = qpos.shape
+        contact = (np.zeros(B, bool) if contact is None
+                   else np.asarray(contact)[:max_robots])
+        contact_step = (np.full(B, -1) if contact_step is None
+                        else np.asarray(contact_step)[:max_robots])
+
+        def draw_frame(ax, t):
+            render_env(self.env, ax)
+            n_con = 0
+            for b in range(B):
+                hit = contact[b] and 0 <= contact_step[b] <= t
+                n_con += bool(hit)
+                render_robot(self.robot, ax, qpos[b, t],
+                             color="red" if hit else "blue",
+                             draw_links_spheres=draw_links_spheres, **kwargs)
+            ax.set_title(f"step {t}/{H - 1}   contacts {n_con}/{B}")
+
+        return self._animate(draw_frame, H, video_filepath, anim_time)
 
     def _animate(self, draw_frame, n_frames, video_filepath, anim_time):
         import matplotlib.animation as animation
