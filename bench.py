@@ -30,6 +30,10 @@ H = 64            # horizon (support points)
 N_STEPS = 8       # timed MPC steps per measurement
 N_REPEATS = 3
 TARGET_PER_CHIP = 1000.0 / 16.0
+# FK protocol target (BASELINE.md): BASELINE.json specifies "measured" with
+# no number, so the round-1 measured value is the recorded baseline the
+# metric is compared against
+FK_BASELINE_PER_CHIP = 1_464_273.0
 
 
 def main():
@@ -151,7 +155,7 @@ def main():
         "metric": "panda_fk_rollouts_per_s_per_chip",
         "value": round(B_fk / per_batch_s, 0),
         "unit": "FK rollouts/s/chip (lanes FK, B=%d, chained timing)" % B_fk,
-        "vs_baseline": None,
+        "vs_baseline": round(B_fk / per_batch_s / FK_BASELINE_PER_CHIP, 2),
     }))
 
 

@@ -88,6 +88,28 @@ def bench_env(tag, env_ctor, robot, start, goal, B, H, params, small):
     return out
 
 
+def make_many_spheres_env(n, precompute, cell=0.005, seed=3):
+    """Synthetic many-primitive scene: n small circles in [-1, 1]^2.
+
+    The grid's raison d'etre: the analytic min-over-primitives SDF costs
+    O(n) per query while the voxel lookup is O(1) — this case locates the
+    crossover on TPU.
+    """
+    from torch_robotics_tpu.envs.base import EnvBase
+    from torch_robotics_tpu.geom import ObjectField, Spheres
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.85, 0.85, (n, 2)).astype(np.float32)
+    radii = np.full(n, 0.015, np.float32)
+    field = ObjectField.create([Spheres(centers=jnp.asarray(centers),
+                                        radii=jnp.asarray(radii))],
+                               name="many_spheres")
+    return EnvBase(name="EnvManySpheres2D",
+                   limits=jnp.array([[-1.0, -1.0], [1.0, 1.0]]),
+                   obj_fixed_list=[field],
+                   precompute_sdf_obj_fixed=precompute,
+                   sdf_cell_size=cell)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
@@ -117,6 +139,15 @@ def main():
     params3 = GPMP2Params(n_support_points=H, dt=0.04, sigma_start=1e-3,
                           sigma_gp=1e-1, sigma_goal_prior=1e-2,
                           sigma_coll=5e-4, step_size=0.8)
+    for n_prims in (256, 4096):
+        bench_env(
+            f"pointmass2d_many_spheres_{n_prims}",
+            lambda grid, n=n_prims: make_many_spheres_env(n, grid),
+            RobotPointMass.create(),
+            jnp.array([-0.9, -0.9, 0.0, 0.0]),
+            jnp.array([0.9, 0.9, 0.0, 0.0]),
+            B2, H, params2, args.small)
+
     bench_env(
         "panda_spheres3d",
         # 0.01 m cells in 3D: 200^3 = 8M cells (32 MB sdf + 96 MB grad in

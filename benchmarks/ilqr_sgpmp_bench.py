@@ -1,0 +1,159 @@
+"""Throughput + quality numbers for the iLQR and sGPMP solvers.
+
+Both capabilities existed since round 2 but had no consumer or perf row
+(VERDICT round 2, item 6).  This bench runs them on the config-3 workload
+(Panda / EnvSpheres3D):
+
+- batched iLQR: dynamically-feasible trajectories (double-integrator
+  states), chained-timing solves/s, an explicit feasibility residual
+  ``max |x_{t+1} - (Phi x_t + B u_t)|`` (must be ~1e-6 — the states are
+  produced BY the rollout), and fraction collision-free;
+- receding-horizon iLQR MPC: control-warm-started re-optimization, the
+  dynamically-feasible analogue of solve/mpc.py;
+- sGPMP: sampling-based posterior smoothing at the same shapes.
+
+Run: python benchmarks/ilqr_sgpmp_bench.py [--small]
+"""
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/trt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-30
+
+
+def timed_fetch(fn, *args, n=3):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0].reshape(-1)[0])
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0].reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def feasibility_residual(trajs, controls, dt):
+    """max |x_{t+1} - (Phi x_t + B u_t)| over the batch (double integrator)."""
+    d = trajs.shape[-1] // 2
+    q, qd = trajs[..., :d], trajs[..., d:]
+    q_next = q[..., :-1, :] + dt * qd[..., :-1, :] \
+        + 0.5 * dt * dt * controls
+    qd_next = qd[..., :-1, :] + dt * controls
+    err_q = jnp.abs(trajs[..., 1:, :d] - q_next).max()
+    err_qd = jnp.abs(trajs[..., 1:, d:] - qd_next).max()
+    return float(jnp.maximum(err_q, err_qd))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    from torch_robotics_tpu.envs import EnvSpheres3D
+    from torch_robotics_tpu.robots import RobotPanda
+    from torch_robotics_tpu.solve.ilqr import ILQRParams, ilqr_solve
+    from torch_robotics_tpu.solve.sampling import SGPMPParams, sgpmp_solve
+    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    env = EnvSpheres3D()
+    robot = RobotPanda.create()
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+    d = robot.q_dim
+    B = 32 if args.small else 512
+    H = 16 if args.small else 32
+    iters = 10 if args.small else 30
+
+    # collision-free starts; goals are bounded perturbations reachable
+    # within the horizon (H * dt seconds at the joint-speed scale)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    qs, _ = task.random_coll_free_q(k1, n_samples=B, max_samples=B * 64)
+    qg = jnp.clip(qs + 0.6 * jax.random.normal(k2, (B, d)),
+                  robot.q_min, robot.q_max)
+    start = jnp.concatenate([qs, jnp.zeros_like(qs)], -1)
+    goal = jnp.concatenate([qg, jnp.zeros_like(qg)], -1)
+    results = {}
+
+    # ---- batched iLQR -----------------------------------------------------
+    p = ILQRParams(n_support_points=H, dt=0.04, opt_iters=iters,
+                   sigma_coll=2e-3, sigma_goal_prior=5e-3, r_control=1e-6)
+    solve = jax.jit(lambda s, g: ilqr_solve(task.collision_residuals, s, g, p))
+    dt_s, res = timed_fetch(solve, start, goal)
+    frac_free = task.compute_fraction_free_trajs(res.trajs)
+    goal_dist = float(jnp.linalg.norm(
+        res.trajs[:, -1, :d] - goal[:, :d], axis=-1).mean())
+    results["ilqr_batch"] = {
+        "batch": B, "horizon": H, "iters": iters,
+        "solves_per_s": round(B / dt_s, 1),
+        "dynamics_feasibility_max_err": feasibility_residual(
+            res.trajs, res.controls, p.dt),
+        "fraction_free": round(frac_free, 3),
+        "mean_final_goal_dist": round(goal_dist, 3),
+    }
+    print("ilqr_batch", json.dumps(results["ilqr_batch"]), flush=True)
+
+    # ---- receding-horizon iLQR MPC (control warm start) -------------------
+    n_mpc = 3 if args.small else 20
+    p_mpc = ILQRParams(n_support_points=H, dt=0.04, opt_iters=3,
+                       sigma_coll=2e-3, sigma_goal_prior=5e-3,
+                       r_control=1e-6)
+
+    @jax.jit
+    def mpc_rollout_ilqr(start, goal):
+        def body(carry, _):
+            x, u_warm = carry
+            res = ilqr_solve(task.collision_residuals, x, goal, p_mpc,
+                             u_init=u_warm)
+            x_next = res.trajs[..., 1, :]
+            u_next = jnp.concatenate(
+                [res.controls[..., 1:, :], res.controls[..., -1:, :]], -2)
+            return (x_next, u_next), jnp.linalg.norm(
+                x_next[..., :d] - goal[..., :d], axis=-1)
+        u0 = jnp.zeros(start.shape[:-1] + (H - 1, d))
+        (_, _), dists = jax.lax.scan(body, (start, u0), None, length=n_mpc)
+        return dists
+
+    dt_m, dists = timed_fetch(mpc_rollout_ilqr, start, goal)
+    results["ilqr_mpc"] = {
+        "batch": B, "mpc_steps": n_mpc, "iters_per_step": 3,
+        "solves_per_s": round(B * n_mpc / dt_m, 1),
+        "mean_final_goal_dist": round(float(dists[-1].mean()), 3),
+    }
+    print("ilqr_mpc", json.dumps(results["ilqr_mpc"]), flush=True)
+
+    # ---- sGPMP ------------------------------------------------------------
+    sp = SGPMPParams(n_support_points=H, dt=0.04,
+                     opt_iters=20 if args.small else 50,
+                     num_samples=16, sigma_coll=2e-3, temperature=0.5)
+    theta0 = straight_line_trajs(start, goal, H)
+    sfn = jax.jit(lambda th: sgpmp_solve(
+        task.collision_residuals, th, start, goal, sp,
+        key=jax.random.PRNGKey(1)))
+    dt_g, res_g = timed_fetch(sfn, theta0)
+    results["sgpmp"] = {
+        "batch": B, "horizon": H, "iters": sp.opt_iters,
+        "samples_per_iter": sp.num_samples,
+        "solves_per_s": round(B / dt_g, 1),
+        "fraction_free": round(
+            task.compute_fraction_free_trajs(res_g.trajs), 3),
+    }
+    print("sgpmp", json.dumps(results["sgpmp"]), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

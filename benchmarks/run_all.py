@@ -42,13 +42,39 @@ def _timed(fn, *args, repeats=3):
 
 
 def config_fk_ik(small: bool):
+    import numpy as np
     from torch_robotics_tpu.kin import (fk_all_links, inverse_kinematics,
                                         robot_zoo)
     model = robot_zoo.franka_panda()
     B = 1024 if small else 65536
     q = jax.random.uniform(jax.random.PRNGKey(0), (B, 7), minval=-1, maxval=1)
-    fk = jax.jit(lambda q: fk_all_links(model, q))
-    _, dt_fk = _timed(fk, q)
+
+    # chained-difference timing (benchmarks/chained_timing.py method): the
+    # one-shot timing bills ~3.7 ms of dispatch + tunnel RTT to a sub-ms
+    # kernel; chaining K iterations on-device and differencing two K values
+    # cancels it.  The coupling sums EVERY output element (no link's
+    # computation can be dead-code-eliminated).
+    def chained_fk(K):
+        @jax.jit
+        def loop(qq):
+            def body(x, _):
+                H_links = fk_all_links(model, x)
+                return x + 1e-30 * jnp.sum(H_links, axis=(1, 2, 3))[:, None], None
+            return jax.lax.scan(body, qq, None, length=K)[0][0, 0]
+        return loop
+
+    def timed_fetch(fn):
+        np.asarray(fn(q))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(q))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    K_LO, K_HI = (1, 3) if small else (4, 32)
+    dt_fk = (timed_fetch(chained_fk(K_HI)) - timed_fetch(chained_fk(K_LO))) \
+        / (K_HI - K_LO)
 
     from torch_robotics_tpu.core import pack_homogeneous, y_rot, z_rot
     from torch_robotics_tpu.kin.ik import inverse_kinematics_gn
@@ -150,16 +176,27 @@ def config_panda(small: bool):
     ee_terms = make_ee_goal_terms(robot, H_target, sigma_ee=1e-3, w_rot=0.2)
     start = jnp.concatenate([starts_q, jnp.zeros(7)])
     goal = jnp.concatenate([goal_q, jnp.zeros(7)])
+    # production policy (benchmarks/config3_tune.py sweep): 50 main GN
+    # iters + one 30-iter random restart of collision-failing trajectories
+    # — 99.3% collision-free at 2.2x the throughput of the old fixed-150
+    # schedule (which reached only 91.2%)
     params = GPMP2Params(n_support_points=64, dt=0.04,
-                         opt_iters=30 if small else 150,
+                         opt_iters=20 if small else 50,
                          sigma_start=1e-3, sigma_gp=1e-1,
                          sigma_goal_prior=1e-2, sigma_coll=5e-4,
                          step_size=0.8)
     theta0 = sample_gp_prior_trajs(jax.random.PRNGKey(0), start, goal, 64, B,
                                    params.dt, 0.05)
-    res, dt = _timed(lambda th: gpmp2_solve(
-        task.collision_residuals, th, start, goal, params,
-        ee_goal_terms=ee_terms), theta0, repeats=1)
+    from torch_robotics_tpu.solve import gpmp2_solve_restarts
+
+    @jax.jit
+    def free_fn(trajs):
+        return ~task.trajs_collision_masks(trajs)[0]
+
+    res, dt = _timed(lambda th: gpmp2_solve_restarts(
+        task.collision_residuals, th, start, goal, params, free_fn,
+        jax.random.PRNGKey(42), ee_goal_terms=ee_terms, restart_rounds=1,
+        restart_iters=10 if small else 30), theta0, repeats=1)
     out = _trajopt_metrics(task, res, dt, B)
     q_final = res.trajs[:, -1, :7]
     H_final = fk_all_links(robot.model, q_final, link_list=["ee_link"])

@@ -2,7 +2,14 @@
 
 Runs a batch of MPC problems to goal configurations, executes the resulting
 state rollouts through the PD harness, and reports success statistics.
+
+``--record out.mp4`` additionally executes the first few rollouts through
+the MuJoCo contact-dynamics adapter and records the EXECUTED (physics-
+integrated) motion to video with collision-sphere debug draw — the
+reference Isaac harness's camera-recording role
+(motion_planning_envs.py:111-173).
 """
+import argparse
 import pathlib
 import sys
 
@@ -18,6 +25,11 @@ from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
 from torch_robotics_tpu.tasks import PlanningTask
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", nargs="?", const="mpc_panda_execution.mp4",
+                    default=None, metavar="PATH",
+                    help="record MuJoCo-executed rollouts to mp4/gif")
+    args = ap.parse_args()
     env = EnvSpheres3D()
     robot = RobotPanda.create()
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
@@ -47,3 +59,21 @@ if __name__ == "__main__":
     coll = task.compute_collision(xs, margin=0.0)
     frac = float(jnp.mean(jnp.any(coll, axis=-1)))
     print(f"{(1 - frac) * 100:.0f}% of executed rollouts contact-free")
+
+    if args.record:
+        import matplotlib
+        matplotlib.use("Agg")
+        from torch_robotics_tpu.sim.mujoco_adapter import MujocoExecutionEnv
+        from torch_robotics_tpu.viz import PlanningVisualizer
+        n_rec = 4
+        sim = MujocoExecutionEnv(robot, env=env)
+        result = sim.run_trajectories(xs[:n_rec, :, :robot.q_dim],
+                                      dt_plan=gp.dt)
+        print(f"MuJoCo execution: {int(result.contact.sum())}/{n_rec} "
+              f"rollouts reported contact")
+        viz = PlanningVisualizer(task=task)
+        out = viz.animate_execution(
+            result.qpos_executed, contact=result.contact,
+            contact_step=result.contact_step, video_filepath=args.record,
+            anim_time=6.0)
+        print(f"wrote execution video to {out}")

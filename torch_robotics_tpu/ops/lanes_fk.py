@@ -296,19 +296,16 @@ def sdf_lanes(df_obj_list, pts3):
     sdf = None
     for df in df_obj_list:
         if isinstance(df, GridSDF):
-            s, _ = _grid_sdf_lanes(df, pts3)
+            s = _grid_sdf_value_lanes(df, pts3)
         else:
             s = _object_sdf_lanes(df, pts3)
         sdf = s if sdf is None else jnp.minimum(sdf, s)
     return sdf
 
 
-def _grid_sdf_lanes(grid, pts3):
-    """GridSDF nearest-cell lookup in SoA: returns (value (N,), grad tuple).
-
-    Same indexing + surrogate-gradient semantics as GridSDF.signed_distance
-    (geom/grid_sdf.py): value = cell SDF, gradient = cell gradient.
-    """
+def _grid_cell_index(grid, pts3):
+    """Flat nearest-cell index of lane-layout points (reference indexing,
+    grid_map_sdf.py:93-97)."""
     dim = grid.dim
     cmap = grid.cmap_dim
     idxs = []
@@ -317,16 +314,42 @@ def _grid_sdf_lanes(grid, pts3):
         ik = jnp.floor((pts3[k] - grid.limits[0, k]) / extent
                        * cmap[k]).astype(jnp.int32)
         idxs.append(jnp.clip(ik, 0, cmap[k] - 1))
-    # flatten to 1-D gathers over (N,) lanes
     flat = idxs[0]
     for k in range(1, dim):
         flat = flat * cmap[k] + idxs[k]
-    val = grid.sdf_grid.reshape(-1)[flat]
-    grad_flat = grid.grad_grid.reshape(-1, dim)
-    grad = tuple(grad_flat[:, k][flat] for k in range(dim))
+    return flat
+
+
+def _grid_sdf_lanes(grid, pts3):
+    """GridSDF nearest-cell lookup in SoA: returns (value (N,), grad tuple).
+
+    Same indexing + surrogate-gradient semantics as GridSDF.signed_distance
+    (geom/grid_sdf.py): value = cell SDF, gradient = cell gradient.
+
+    TPU gathers on this toolchain run at a flat ~11 ns/ROW independent of
+    table size and row width up to 8 channels (micro-bench in git history /
+    CLAUDE.md), so [sdf, grad] are packed into ONE (C, 1+dim) row gather —
+    measured 4.7x over per-component gathers (the strided grad-column
+    gathers were the pathology).  The packed table is loop-invariant, so
+    XLA hoists its construction out of solver scans.
+    """
+    dim = grid.dim
+    flat = _grid_cell_index(grid, pts3)
+    packed = jnp.concatenate(
+        [grid.sdf_grid.reshape(-1, 1), grid.grad_grid.reshape(-1, dim)],
+        axis=-1)                                        # (C, 1 + dim)
+    rows = packed[flat]                                 # (N, 1 + dim)
+    val = rows[:, 0]
+    grad = tuple(rows[:, 1 + k] for k in range(dim))
     if dim == 2:
         grad = grad + (jnp.zeros_like(grad[0]),)
     return val, grad
+
+
+def _grid_sdf_value_lanes(grid, pts3):
+    """Value-only nearest-cell lookup (single flat gather)."""
+    flat = _grid_cell_index(grid, pts3)
+    return grid.sdf_grid.reshape(-1)[flat]
 
 
 def sdf_and_grad_lanes(df_obj_list, pts3, ws_dim):
