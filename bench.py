@@ -68,14 +68,33 @@ def main():
 
     import numpy as np
 
+    # the per-chip throughput knee is at B~128 (tools/scaling_bench.py
+    # --mode knee: H=64 peaks at 162.5k solves/s @ B=128 and decays to
+    # 118k @ B=1024 — the solver's per-scan-step L/y stacks leave
+    # VMEM-adjacent sizes); the B=1024 protocol batch is therefore
+    # processed as sequential knee-sized chunks inside the jit, like the
+    # pod path (parallel/mesh.py _POD_CHUNK): measured 167.6k vs 114.2k
+    CHUNK = 128
+
     def run_steps_fn(n_steps):
         @jax.jit
         def run_steps(state):
-            def body(s, _):
-                s_next, info = mpc_step(task.collision_residuals, s, goal,
-                                        params)
-                return s_next, info["collision_cost"].mean()
-            return jax.lax.scan(body, state, None, length=n_steps)
+            n_c = B // CHUNK
+            goal_c = goal.reshape(n_c, CHUNK, -1)
+
+            def one(args):
+                state_c, g_c = args
+                def body(s, _):
+                    s_next, info = mpc_step(task.collision_residuals, s, g_c,
+                                            params)
+                    return s_next, info["collision_cost"].mean()
+                return jax.lax.scan(body, state_c, None, length=n_steps)
+
+            state_r = MPCState(
+                theta=state.theta.reshape(n_c, CHUNK, H, -1),
+                x=state.x.reshape(n_c, CHUNK, -1))
+            s_out, costs = jax.lax.map(one, (state_r, goal_c))
+            return s_out, costs.mean(axis=0)
         return run_steps
 
     # warm up (compile) + sanity

@@ -93,3 +93,26 @@ def test_mpc_rollout_sharded_matches_single_device(setup):
         shard_batch(goal, mesh), mpc_params, 6, mesh)
     np.testing.assert_allclose(np.asarray(xs_sh), np.asarray(xs_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mpc_rollout_sharded_chunked_matches_unchunked(setup):
+    """Knee-sized per-device chunking (parallel/mesh.py _POD_CHUNK) is a
+    pure execution-schedule change — results must match unchunked."""
+    task, params = setup
+    mesh = make_mesh()
+    mpc_params = MPCParams(gpmp2=params, iters_per_step=1)
+    key = jax.random.PRNGKey(5)
+    delta = 0.05 * jax.random.normal(key, (32, 2))
+    start_q = jnp.array([-0.9, -0.9]) + delta
+    goal_q = jnp.array([0.9, 0.9]) - delta
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)], -1)
+    goal = jnp.concatenate([goal_q, jnp.zeros_like(goal_q)], -1)
+    xs_un, frac_un = mpc_rollout_sharded(
+        task.collision_residuals, shard_batch(start, mesh),
+        shard_batch(goal, mesh), mpc_params, 4, mesh, chunk=None)
+    xs_ch, frac_ch = mpc_rollout_sharded(
+        task.collision_residuals, shard_batch(start, mesh),
+        shard_batch(goal, mesh), mpc_params, 4, mesh, chunk=2)
+    np.testing.assert_allclose(np.asarray(xs_ch), np.asarray(xs_un),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(frac_ch), float(frac_un), atol=1e-6)

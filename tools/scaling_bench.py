@@ -21,8 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -125,8 +125,20 @@ def solve_sharded(residual_fn, theta0, start_state, goal_state, params,
     return trajs, global_mean[0]
 
 
+# per-device batches past the measured throughput knee LOSE throughput
+# (H=32: B=256 peaks at 369k solves/s on one v5e chip, B=8192 runs at
+# 197k; H=64: B=128 peaks at 162.5k, B=1024 runs at 118k — the solver's
+# L/y stacks grow past VMEM-adjacent sizes and the sweep goes
+# bandwidth-bound; tools/scaling_bench.py --mode knee).  Large per-device
+# shares are therefore processed as sequential knee-sized chunks inside
+# the device program: B=1024/H=64 measured 167.6k (chunk 128) vs 114.2k
+# (unchunked) vs 147.8k (chunk 256).
+_POD_CHUNK = 128
+
+
 @lru_cache(maxsize=64)
-def _mpc_rollout_sharded_fn(residual_fn, params, n_steps, mesh, axis_name):
+def _mpc_rollout_sharded_fn(residual_fn, params, n_steps, mesh, axis_name,
+                            chunk):
     from ..solve.mpc import mpc_rollout
 
     @jax.jit
@@ -134,9 +146,23 @@ def _mpc_rollout_sharded_fn(residual_fn, params, n_steps, mesh, axis_name):
              in_specs=(P(axis_name), P(axis_name)),
              out_specs=(P(axis_name), P()))
     def _run(start_l, goal_l):
-        xs, info = mpc_rollout(residual_fn, start_l, goal_l, params, n_steps)
-        goal_frac = jnp.mean(
-            (info["dist_to_goal"][-1] < 0.1).astype(jnp.float32))
+        B_l = start_l.shape[0]
+        if chunk and B_l > chunk and B_l % chunk == 0:
+            def one(sg):
+                s, g = sg
+                xs_c, info_c = mpc_rollout(residual_fn, s, g, params, n_steps)
+                return xs_c, info_c["dist_to_goal"][-1]
+            n_c = B_l // chunk
+            xs, dist = jax.lax.map(
+                one, (start_l.reshape(n_c, chunk, -1),
+                      goal_l.reshape(n_c, chunk, -1)))
+            xs = xs.reshape((B_l,) + xs.shape[2:])
+            dist_final = dist.reshape(-1)
+        else:
+            xs, info = mpc_rollout(residual_fn, start_l, goal_l, params,
+                                   n_steps)
+            dist_final = info["dist_to_goal"][-1]
+        goal_frac = jnp.mean((dist_final < 0.1).astype(jnp.float32))
         global_frac = jax.lax.pmean(goal_frac, axis_name)
         return xs, global_frac[None]
 
@@ -144,9 +170,15 @@ def _mpc_rollout_sharded_fn(residual_fn, params, n_steps, mesh, axis_name):
 
 
 def mpc_rollout_sharded(residual_fn, start_state, goal_state, params, n_steps,
-                        mesh: Mesh, axis_name: str = "batch"):
-    """Receding-horizon MPC with scenario batch sharded over the mesh."""
+                        mesh: Mesh, axis_name: str = "batch",
+                        chunk: Optional[int] = _POD_CHUNK):
+    """Receding-horizon MPC with scenario batch sharded over the mesh.
+
+    ``chunk``: per-device shares larger than this are processed as
+    sequential chunks at the single-chip throughput knee (None disables).
+    """
     _run = _mpc_rollout_sharded_fn(residual_fn, params, int(n_steps), mesh,
-                                   axis_name)
+                                   axis_name,
+                                   None if chunk is None else int(chunk))
     xs, frac = _run(start_state, goal_state)
     return xs, frac[0]
