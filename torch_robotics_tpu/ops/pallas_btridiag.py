@@ -30,6 +30,21 @@ __all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols"]
 import numpy as np
 
 
+def _out_struct(shape, dtype, *operands):
+    """Output ShapeDtypeStruct carrying the operands' varying-mesh-axes.
+
+    Under ``jax.shard_map`` (check_vma=True, the default), a pallas_call
+    nested inside ``lax.scan``/``lax.map`` must declare which mesh axes its
+    output varies over — otherwise "vma on jax.ShapeDtypeStruct must not be
+    None" (hit by the chunked pod path, parallel/mesh.py)."""
+    vma = frozenset()
+    for op in operands:
+        vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
             S_ref, Wy_ref):
     """Forward factorization + backward substitution, all in VMEM.
@@ -255,7 +270,7 @@ def solve_lanes_pallas_cols(D, U, b, tile_b: int = 128,
     grid = (B // tile_b,)
     x = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, m, B), D.dtype),
+        out_shape=_out_struct((H, m, B), D.dtype, D, U3, b),
         grid=grid,
         in_specs=[
             pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
@@ -338,7 +353,7 @@ def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False):
     grid = (B // tile_b,)
     x = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, m, B), D.dtype),
+        out_shape=_out_struct((H, m, B), D.dtype, D, U3, b),
         grid=grid,
         in_specs=[
             pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
