@@ -78,12 +78,20 @@ def main():
     H = 16 if args.small else 32
     iters = 10 if args.small else 30
 
-    # collision-free starts; goals are bounded perturbations reachable
-    # within the horizon (H * dt seconds at the joint-speed scale)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    # collision-free starts AND goals (a goal sampled inside an obstacle
+    # makes fraction_free/goal-distance meaningless); goals are free
+    # configurations near the starts, reachable within the horizon
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     qs, _ = task.random_coll_free_q(k1, n_samples=B, max_samples=B * 64)
-    qg = jnp.clip(qs + 0.6 * jax.random.normal(k2, (B, d)),
-                  robot.q_min, robot.q_max)
+    pert = jnp.clip(qs + 0.6 * jax.random.normal(k2, (16, B, d)),
+                    robot.q_min, robot.q_max)
+    free = (task.compute_collision(pert.reshape(-1, d)) == 0).reshape(16, B)
+    # first collision-free perturbation per problem (falls back to the
+    # start itself if none of the 16 candidates is free)
+    idx = jnp.argmax(free, axis=0)
+    any_free = free.max(axis=0)
+    qg = jnp.where(any_free[:, None],
+                   pert[idx, jnp.arange(B)], qs)
     start = jnp.concatenate([qs, jnp.zeros_like(qs)], -1)
     goal = jnp.concatenate([qg, jnp.zeros_like(qg)], -1)
     results = {}

@@ -95,3 +95,38 @@ def test_ilqr_unbatched_single_problem(circle_tasks):
     assert res.trajs.shape == (PARAMS.n_support_points, 4)
     assert res.controls.shape == (PARAMS.n_support_points - 1, 2)
     assert np.isfinite(float(res.costs))
+
+
+def test_ilqr_extreme_weight_ratio_stays_finite_and_converges():
+    """Square-root Riccati regression: kg/r ~ 4e10 NaN'd the dense sweep.
+
+    The plain Cholesky backward pass loses the smallest Schur-complement
+    eigenvalues to float32 cancellation at terminal-goal weight 1/sigma^2 =
+    4e4 against control cost 1e-6 (Vxx goes indefinite at the second
+    backward step and every line-search candidate is NaN, so the solver
+    silently returns the initial rollout).  The QR square-root sweep keeps
+    the recursion at sqrt dynamic range; it must make real progress here.
+    """
+    from torch_robotics_tpu.envs import EnvSpheres3D
+    from torch_robotics_tpu.robots import RobotPanda
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    task = PlanningTask(env=EnvSpheres3D(), robot=RobotPanda.create(),
+                        obstacle_cutoff_margin=0.03)
+    d = task.robot.q_dim
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    qs, _ = task.random_coll_free_q(k1, n_samples=4, max_samples=256)
+    qg = jnp.clip(qs + 0.6 * jax.random.normal(k2, (4, d)),
+                  task.robot.q_min, task.robot.q_max)
+    start = jnp.concatenate([qs, jnp.zeros_like(qs)], -1)
+    goal = jnp.concatenate([qg, jnp.zeros_like(qg)], -1)
+    p = ILQRParams(n_support_points=16, dt=0.04, opt_iters=10,
+                   sigma_coll=2e-3, sigma_goal_prior=5e-3, r_control=1e-6)
+    res = ilqr_solve(task.collision_residuals, start, goal, p)
+    assert bool(jnp.isfinite(res.trajs).all())
+    assert bool(jnp.isfinite(res.cost_trace).all())
+    dist0 = jnp.linalg.norm(start[:, :d] - goal[:, :d], axis=-1)
+    distF = jnp.linalg.norm(res.trajs[:, -1, :d] - goal[:, :d], axis=-1)
+    # every problem must at least halve its goal distance (the dense sweep
+    # left distF == dist0 exactly); most reach ~1e-4
+    assert bool((distF < 0.5 * dist0).all()), (dist0, distF)

@@ -102,7 +102,12 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
     raj = getattr(residual_fn, "residuals_and_jacobian", None)
 
     def quadratize_state(x):
-        """Gauss-Newton (l_x, l_xx) of the obstacle term at state x."""
+        """Gauss-Newton gradient + FACTORED Hessian of the obstacle term.
+
+        Returns (l_x (m,), F (P, m)) with l_xx = F^T F: the GN structure
+        lam * J^T J factors exactly as (sqrt(lam) J)^T (sqrt(lam) J), so the
+        square-root backward pass never forms the ill-conditioned product.
+        """
         q = x[:d]
         if raj is not None:
             res, J = raj(q)
@@ -110,43 +115,67 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
             res = residual_fn(q)
             J = jax.jacfwd(residual_fn)(q)
         g_q = lam * (J.T @ res)                       # (d,)
-        H_qq = lam * (J.T @ J)                        # (d, d)
         l_x = jnp.concatenate([g_q, jnp.zeros((m - d,), dtype)])
-        l_xx = jnp.concatenate([
-            jnp.concatenate([H_qq, jnp.zeros((d, m - d), dtype)], axis=-1),
-            jnp.zeros((m - d, m), dtype)], axis=-2)
-        return l_x, l_xx
+        F = jnp.concatenate(
+            [jnp.sqrt(lam) * J, jnp.zeros(J.shape[:-1] + (m - d,), dtype)],
+            axis=-1)                                  # (P, m)
+        return l_x, F
 
     eye_u = jnp.eye(d, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
+    sqrt_ru = jnp.sqrt(r + params.mu)
 
     def backward(xs, U):
-        """Riccati sweep; returns feedforward k (H-1, d), feedback K
-        (H-1, d, m).  Linear dynamics make the dynamics expansion exact."""
-        l_x_T = kg * (xs[-1] - goal_state)
-        l_xx_T = kg * eye_m
+        """Square-root Riccati sweep; returns feedforward k (H-1, d),
+        feedback K (H-1, d, m).  Linear dynamics make the dynamics
+        expansion exact.
 
-        l_xs, l_xxs = jax.vmap(quadratize_state)(xs[:-1])
+        The value Hessian is propagated as a factor S with Vxx = S^T S
+        (initialized to sqrt(kg) I).  Each step QR-factors the stacked
+        array A = [[sqrt(r+mu) I, 0], [S B, S Phi], [0, F_t]] whose Gram is
+        the full [[Quu, Qux], [Qux^T, Qxx]] block: R11^T R11 = Quu,
+        R11^{-1} R12 = Quu^{-1} Qux, and R22^T R22 is EXACTLY the Schur
+        complement Qxx - Qux^T Quu^{-1} Qux = Vxx_next — computed without
+        the catastrophic float32 cancellation of the dense recursion, and
+        PSD by construction.  The plain Cholesky sweep NaNs on TPU/float32
+        at kg/r ratios ~1e10 (terminal-goal weight vs near-free control):
+        cancellation noise eps*kg ~ 5e-3 swamps the smallest Schur
+        eigenvalues, Vxx goes indefinite, and cholesky(Quu) returns NaN
+        from step 2 on.  Dynamic range here is sqrt(kg)/sqrt(r) instead.
+        """
+        l_x_T = kg * (xs[-1] - goal_state)
+        S_T = jnp.sqrt(kg) * eye_m
+
+        l_xs, Fs = jax.vmap(quadratize_state)(xs[:-1])
+        P = Fs.shape[-2]
+        zeros_du = jnp.zeros((d, m), dtype)
+        zeros_Pd = jnp.zeros((P, d), dtype)
 
         def step(carry, inp):
-            Vx, Vxx = carry
-            u, l_x, l_xx = inp
+            Vx, S = carry
+            u, l_x, F = inp
+            SB = S @ Bm                               # (m, d)
+            SPhi = S @ Phi                            # (m, m)
+            A = jnp.concatenate([
+                jnp.concatenate([sqrt_ru * eye_u, zeros_du], axis=-1),
+                jnp.concatenate([SB, SPhi], axis=-1),
+                jnp.concatenate([zeros_Pd, F], axis=-1)], axis=0)
+            R = jnp.linalg.qr(A, mode="r")            # (d+m, d+m) upper tri
+            R11 = R[:d, :d]
+            R12 = R[:d, d:]
+            S_new = R[d:, d:]                         # Vxx_next = S^T S
             Qx = l_x + Phi.T @ Vx
             Qu = r * u + Bm.T @ Vx
-            Qxx = l_xx + Phi.T @ Vxx @ Phi
-            Quu = r * eye_u + Bm.T @ Vxx @ Bm + params.mu * eye_u
-            Qux = Bm.T @ Vxx @ Phi
-            # solve Quu k = -Qu, Quu K = -Qux via Cholesky (Quu is PD)
-            L = jnp.linalg.cholesky(Quu)
-            k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-            K = -jax.scipy.linalg.cho_solve((L, True), Qux)
-            Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
-            Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
-            return (Vx_new, Vxx_new), (k, K)
+            # k = -Quu^{-1} Qu via two triangular solves with R11
+            w = jax.scipy.linalg.solve_triangular(R11.T, Qu, lower=True)
+            k = -jax.scipy.linalg.solve_triangular(R11, w, lower=False)
+            K = -jax.scipy.linalg.solve_triangular(R11, R12, lower=False)
+            # Vx_next = Qx + Qux^T k, with Qux = R11^T R12
+            Vx_new = Qx + R12.T @ (R11 @ k)
+            return (Vx_new, S_new), (k, K)
 
         _, (ks, Ks) = jax.lax.scan(
-            step, (l_x_T, l_xx_T), (U, l_xs, l_xxs), reverse=True)
+            step, (l_x_T, S_T), (U, l_xs, Fs), reverse=True)
         return ks, Ks
 
     def forward(xs, U, ks, Ks, alpha):
