@@ -67,12 +67,15 @@ def main():
     from torch_robotics_tpu.robots import RobotPanda
     from torch_robotics_tpu.solve.ilqr import ILQRParams, ilqr_solve
     from torch_robotics_tpu.solve.sampling import SGPMPParams, sgpmp_solve
-    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+    from torch_robotics_tpu.solve.gp_prior import sample_gp_prior_trajs
     from torch_robotics_tpu.tasks import PlanningTask
 
     env = EnvSpheres3D()
     robot = RobotPanda.create()
-    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.03)
+    # 0.06 cutoff: the receding-horizon loop needs a repulsion buffer wider
+    # than the executed step length — at 0.03 the first fast transit steps
+    # graze obstacles the hinge never saw (exec-free 0.42 -> ~0.6+ at 0.06)
+    task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.06)
     d = robot.q_dim
     B = 32 if args.small else 512
     H = 16 if args.small else 32
@@ -115,10 +118,14 @@ def main():
     print("ilqr_batch", json.dumps(results["ilqr_batch"]), flush=True)
 
     # ---- receding-horizon iLQR MPC (control warm start) -------------------
-    n_mpc = 3 if args.small else 20
+    n_mpc = 3 if args.small else 30
+    # receding-horizon configuration: meaningful control cost (near-free
+    # controls make the executed loop non-contractive — accelerations hit
+    # ~5e3 rad/s^2 and velocities diverge) + position-only running goal
+    # pull (terminal-only cost never contracts: "always H steps left")
     p_mpc = ILQRParams(n_support_points=H, dt=0.04, opt_iters=3,
                        sigma_coll=2e-3, sigma_goal_prior=5e-3,
-                       r_control=1e-6)
+                       sigma_goal_running=0.05, r_control=1e-3)
 
     @jax.jit
     def mpc_rollout_ilqr(start, goal):
@@ -129,35 +136,60 @@ def main():
             x_next = res.trajs[..., 1, :]
             u_next = jnp.concatenate(
                 [res.controls[..., 1:, :], res.controls[..., -1:, :]], -2)
-            return (x_next, u_next), jnp.linalg.norm(
-                x_next[..., :d] - goal[..., :d], axis=-1)
+            return (x_next, u_next), x_next
         u0 = jnp.zeros(start.shape[:-1] + (H - 1, d))
-        (_, _), dists = jax.lax.scan(body, (start, u0), None, length=n_mpc)
-        return dists
+        (_, _), xs_exec = jax.lax.scan(body, (start, u0), None, length=n_mpc)
+        return xs_exec                                 # (n_mpc, B, 2d)
 
-    dt_m, dists = timed_fetch(mpc_rollout_ilqr, start, goal)
+    dt_m, xs_exec = timed_fetch(mpc_rollout_ilqr, start, goal)
+    dists = jnp.linalg.norm(xs_exec[..., :d] - goal[None, :, :d], axis=-1)
+    exec_trajs = jnp.swapaxes(xs_exec[..., :d], 0, 1)  # (B, n_mpc, d)
     results["ilqr_mpc"] = {
         "batch": B, "mpc_steps": n_mpc, "iters_per_step": 3,
         "solves_per_s": round(B * n_mpc / dt_m, 1),
         "mean_final_goal_dist": round(float(dists[-1].mean()), 3),
+        "median_final_goal_dist": round(float(jnp.median(dists[-1])), 4),
+        "fraction_free_executed": round(
+            task.compute_fraction_free_trajs(exec_trajs), 3),
     }
     print("ilqr_mpc", json.dumps(results["ilqr_mpc"]), flush=True)
 
-    # ---- sGPMP ------------------------------------------------------------
+    # ---- sGPMP (multi-particle, reference-preset weights) -----------------
+    # the stochastic planner's global coverage comes from DIVERSE prior
+    # particles per problem (the update itself is local); collision weight
+    # sigma_coll=1e-5 follows the reference preset (env_grid_circles_2d.py
+    # get_sgpmp_params) so candidate ranking is collision-dominated
+    n_part = 2 if args.small else 8
     sp = SGPMPParams(n_support_points=H, dt=0.04,
-                     opt_iters=20 if args.small else 50,
-                     num_samples=16, sigma_coll=2e-3, temperature=0.5)
-    theta0 = straight_line_trajs(start, goal, H)
+                     opt_iters=20 if args.small else 100,
+                     num_samples=16, sigma_coll=1e-5, temperature=1.0,
+                     sigma_gp_sample=0.2)
+    kp = jax.random.split(jax.random.PRNGKey(2), B)
+    theta0 = jax.vmap(
+        lambda k, s, g: sample_gp_prior_trajs(k, s, g, H, n_part, sp.dt, 0.2)
+    )(kp, start, goal)                               # (B, n_part, H, 2d)
+    start_p = jnp.repeat(start, n_part, axis=0)
+    goal_p = jnp.repeat(goal, n_part, axis=0)
+    theta0 = theta0.reshape(B * n_part, H, 2 * d)
+    coll0, _ = task.trajs_collision_masks(theta0[..., :d])
+    free0 = (~coll0).reshape(B, n_part)
     sfn = jax.jit(lambda th: sgpmp_solve(
-        task.collision_residuals, th, start, goal, sp,
+        task.collision_residuals, th, start_p, goal_p, sp,
         key=jax.random.PRNGKey(1)))
     dt_g, res_g = timed_fetch(sfn, theta0)
+    coll_mask, _ = task.trajs_collision_masks(res_g.trajs[..., :d])
+    free_p = (~coll_mask).reshape(B, n_part)
     results["sgpmp"] = {
-        "batch": B, "horizon": H, "iters": sp.opt_iters,
-        "samples_per_iter": sp.num_samples,
-        "solves_per_s": round(B / dt_g, 1),
-        "fraction_free": round(
-            task.compute_fraction_free_trajs(res_g.trajs), 3),
+        "batch": B, "particles": n_part, "horizon": H,
+        "iters": sp.opt_iters, "samples_per_iter": sp.num_samples,
+        "particle_solves_per_s": round(B * n_part / dt_g, 1),
+        "problems_per_s": round(B / dt_g, 1),
+        "init_fraction_free_particles": round(float(free0.mean()), 3),
+        "fraction_free_particles": round(float(free_p.mean()), 3),
+        "init_fraction_problems_with_free": round(
+            float(free0.any(axis=1).mean()), 3),
+        "fraction_problems_with_free": round(
+            float(free_p.any(axis=1).mean()), 3),
     }
     print("sgpmp", json.dumps(results["sgpmp"]), flush=True)
     print(json.dumps(results))

@@ -180,13 +180,16 @@ def config_panda(small: bool):
     # iters + one 30-iter random restart of collision-failing trajectories
     # — 99.3% collision-free at 2.2x the throughput of the old fixed-150
     # schedule (which reached only 91.2%)
+    # sigma_gp_init/init-sigma scaled ~2.7x when sample_gp_prior_trajs moved
+    # to the exact conditioned-GP sampler (equal mid-horizon position spread
+    # to the Brownian heuristic these values were originally tuned with)
     params = GPMP2Params(n_support_points=64, dt=0.04,
                          opt_iters=20 if small else 50,
                          sigma_start=1e-3, sigma_gp=1e-1,
                          sigma_goal_prior=1e-2, sigma_coll=5e-4,
-                         step_size=0.8)
+                         step_size=0.8, sigma_gp_init=0.5)
     theta0 = sample_gp_prior_trajs(jax.random.PRNGKey(0), start, goal, 64, B,
-                                   params.dt, 0.05)
+                                   params.dt, 0.13)
     from torch_robotics_tpu.solve import gpmp2_solve_restarts
 
     @jax.jit

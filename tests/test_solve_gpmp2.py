@@ -33,8 +33,12 @@ def test_gpmp2_point_mass_dense2d(setup):
     batched GPMP2 solve; trajectories must reach the endpoints smoothly and
     mostly leave collision."""
     env, robot, task, params = setup
+    # sigma_gp_init=0.5 restores the initialization diversity the test was
+    # tuned for: the exact conditioned-GP sampler (white-noise-on-accel,
+    # reference semantics) has a ~2.7x smaller mid-horizon position spread
+    # at equal sigma than the earlier Brownian-bridge heuristic
     params = GPMP2Params(**{**params.__dict__, "opt_iters": 100,
-                            "num_samples": 16})
+                            "num_samples": 16, "sigma_gp_init": 0.5})
 
     start_q = jnp.array([-0.9, -0.9])
     goal_q = jnp.array([0.9, 0.9])
@@ -68,18 +72,24 @@ def test_gpmp2_point_mass_dense2d(setup):
 
 
 def test_gpmp2_straight_line_stays_when_free(setup):
-    """In an empty corner of the workspace the GP prior keeps the line."""
+    """On a genuinely free segment the GP prior keeps the line.
+
+    The segment x=-0.9, y in [-0.05, 0.65] has 0.135 clearance in
+    EnvDense2D — more than the 0.11 the point-mass radius + margin needs
+    (the full left edge x=-0.95 used earlier actually clips an obstacle at
+    y=-0.41, sdf -0.049, so a detour there was correct behavior).
+    """
     env, robot, task, params = setup
     params = GPMP2Params(**{**params.__dict__, "opt_iters": 30,
                             "num_samples": 4, "sigma_gp_init": 1e-3})
-    start_state = jnp.array([-0.95, -0.95, 0.0, 0.0])
-    goal_state = jnp.array([-0.95, 0.95, 0.0, 0.0])  # left edge, no obstacles
+    start_state = jnp.array([-0.9, -0.05, 0.0, 0.0])
+    goal_state = jnp.array([-0.9, 0.65, 0.0, 0.0])
     theta0 = gpmp2_init_trajs(jax.random.PRNGKey(1), params, start_state,
                               goal_state)
     result = gpmp2_solve(task.collision_residuals, theta0, start_state,
                          goal_state, params)
-    # x stays near -0.95 the whole way
-    assert float(jnp.abs(result.trajs[..., 0] + 0.95).max()) < 0.1
+    # x stays near -0.9 the whole way
+    assert float(jnp.abs(result.trajs[..., 0] + 0.9).max()) < 0.05
 
 
 def test_gpmp2_long_horizon(setup):

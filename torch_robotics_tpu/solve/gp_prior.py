@@ -10,11 +10,15 @@ exactly the structure ``btridiag`` factorizes.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["gp_transition", "gp_Q_inv", "gp_prior_terms",
-           "sample_gp_prior_trajs", "straight_line_trajs"]
+           "gp_bridge_sampler_matrix", "gp_bridge_mean",
+           "gp_bridge_mean_matrices", "sample_gp_prior_trajs",
+           "straight_line_trajs"]
 
 
 def gp_transition(d: int, dt: float, dtype=jnp.float32):
@@ -106,41 +110,144 @@ def gp_prior_terms(theta, start_state, goal_state, dt, sigma_start, sigma_gp,
     return g, D, U
 
 
-def straight_line_trajs(start_state, goal_state, H: int):
+def _gp_bridge_precision(d: int, H: int, dt: float, sigma_gp: float,
+                         sigma_endpoint: float):
+    """Dense (n, n) float64 numpy precision of the endpoint-conditioned
+    constant-velocity GP prior (transition factors + endpoint state priors).
+    Host-side: everything is static, and the factorizations derived from it
+    (Cholesky for sampling, inverse columns for the conditioned mean) are
+    trace-time constants."""
+    import numpy as np
+
+    m = 2 * d
+    eye = np.eye(d)
+    Phi = np.block([[eye, dt * eye], [np.zeros((d, d)), eye]])
+    qc_inv = 1.0 / float(sigma_gp) ** 2
+    Qi = np.block([[12.0 / dt ** 3 * eye, -6.0 / dt ** 2 * eye],
+                   [-6.0 / dt ** 2 * eye, 4.0 / dt * eye]]) * qc_inv
+    PtQ = Phi.T @ Qi
+    P = np.zeros((H, m, H, m))
+    for t in range(H - 1):
+        P[t, :, t, :] += PtQ @ Phi
+        P[t + 1, :, t + 1, :] += Qi
+        P[t, :, t + 1, :] -= PtQ
+        P[t + 1, :, t, :] -= PtQ.T
+    ke = 1.0 / float(sigma_endpoint) ** 2
+    P[0, :, 0, :] += ke * np.eye(m)
+    P[-1, :, -1, :] += ke * np.eye(m)
+    return P.reshape(H * m, H * m), ke
+
+
+@functools.lru_cache(maxsize=32)
+def gp_bridge_mean_matrices(d: int, H: int, dt: float, sigma_gp: float,
+                            sigma_endpoint: float = 1e-5,
+                            dtype=jnp.float32):
+    """(W_s, W_g), each (H*2d, 2d): the conditioned GP prior MEAN is
+    ``mu = start @ W_s.T + goal @ W_g.T`` reshaped (..., H, 2d) — the
+    minimum-GP-energy trajectory between the endpoint STATES (zero endpoint
+    velocities give the classic cubic-blended profile).  A constant-velocity
+    straight line cannot satisfy zero endpoint velocities, so its energy
+    under the endpoint priors is ~1e10; this mean is the correct
+    initialization for optimizers that score candidates under the GP cost.
+    """
+    import numpy as np
+
+    m = 2 * d
+    P, ke = _gp_bridge_precision(d, H, dt, sigma_gp, sigma_endpoint)
+    Pinv = np.linalg.inv(P)
+    W_s = ke * Pinv[:, :m]
+    W_g = ke * Pinv[:, -m:]
+    return jnp.asarray(W_s, dtype), jnp.asarray(W_g, dtype)
+
+
+def gp_bridge_mean(start_state, goal_state, H: int, dt: float,
+                   sigma_gp: float, sigma_endpoint: float = 1e-5):
+    """Conditioned GP prior mean trajectories: (..., 2d) -> (..., H, 2d)."""
+    d = start_state.shape[-1] // 2
+    W_s, W_g = gp_bridge_mean_matrices(
+        d, H, dt, sigma_gp, sigma_endpoint, start_state.dtype)
+    mu = start_state @ W_s.T + goal_state @ W_g.T
+    return mu.reshape(start_state.shape[:-1] + (H, 2 * d))
+
+
+@functools.lru_cache(maxsize=32)
+def gp_bridge_sampler_matrix(d: int, H: int, dt: float, sigma_gp: float,
+                             sigma_endpoint: float = 1e-5,
+                             dtype=jnp.float32):
+    """Exact sampler for the endpoint-conditioned GP prior: returns M (n, n),
+    n = H*2d, such that ``eps = xi @ M.T`` with ``xi ~ N(0, I)`` is
+    distributed N(0, P^{-1}) where P is the block-tridiagonal precision of
+    the constant-velocity GP bridge (transition factors weighted by
+    Q^{-1}(sigma_gp) plus ``1/sigma_endpoint^2 I`` priors pinning both
+    endpoint states).
+
+    Unlike a Brownian-bridge-with-finite-difference-velocities heuristic,
+    these samples satisfy the transition model statistically: their expected
+    GP energy under the same precision is n/2, so a sampling-based optimizer
+    evaluating candidates under the GP cost is not drowned by the
+    perturbation's own smoothness penalty (the heuristic's central-difference
+    velocities violate the integrator and cost ~1e8 at H=32).
+
+    Precision assembly + Cholesky + triangular inverse run host-side in
+    float64 numpy at trace time (everything is static); applying the factor
+    is one (KB, n) x (n, n) MXU matmul.  M = L^{-T} with P = L L^T:
+    cov(L^{-T} xi) = (L L^T)^{-1} = P^{-1}.
+    """
+    import numpy as np
+
+    P, _ = _gp_bridge_precision(d, H, dt, sigma_gp, sigma_endpoint)
+    L = np.linalg.cholesky(P)
+    M = np.linalg.inv(L).T        # upper triangular
+    return jnp.asarray(M, dtype)
+
+
+def straight_line_trajs(start_state, goal_state, H: int, dt: float = None):
     """Constant-velocity straight-line trajectory between state endpoints.
 
     start/goal: (..., 2d) -> (..., H, 2d); positions interpolate linearly,
-    velocities set to the constant segment velocity.
+    velocities set to the constant segment velocity Δq/dt (so the state
+    sequence satisfies the integrator q_{t+1} = q_t + dt·qd_t exactly and
+    its GP transition energy is ~0 — without the 1/dt the "straight line"
+    carried ~1e7-scale GP energy at H=32, which poisoned sampling-based
+    optimizers that score candidates under the GP prior).
+
+    dt=None keeps the legacy per-step convention (velocity = Δq per step)
+    for callers that only use the positions.
     """
     m = start_state.shape[-1]
     d = m // 2
     w = jnp.linspace(0.0, 1.0, H, dtype=start_state.dtype)
     pos = (start_state[..., None, :d] * (1.0 - w)[:, None]
            + goal_state[..., None, :d] * w[:, None])
+    step_t = (H - 1) * dt if dt is not None else (H - 1)
     vel = jnp.broadcast_to(
-        (goal_state[..., None, :d] - start_state[..., None, :d]) / (H - 1),
+        (goal_state[..., None, :d] - start_state[..., None, :d]) / step_t,
         pos.shape)
     return jnp.concatenate([pos, vel], axis=-1)
 
 
 def sample_gp_prior_trajs(key, start_state, goal_state, H: int,
                           num_samples: int, dt: float, sigma_gp_init: float):
-    """Sample smooth initial trajectories around the straight line.
+    """Sample smooth initial trajectories from the endpoint-conditioned GP.
 
-    Brownian-bridge position noise with matched velocity noise approximates
-    samples from the constant-velocity GP prior pinned at the endpoints
-    (replaces the reference planners' prior sampling configured by
-    ``sigma_gp_init`` / ``sigma_start_init`` / ``sigma_goal_init``).
+    EXACT samples: conditioned prior mean (zero-endpoint-velocity cubic
+    bridge) + N(0, P^{-1}) noise via the host-factored precision
+    (``gp_bridge_sampler_matrix``) — one MXU matmul.  Replaces the earlier
+    Brownian-bridge + finite-difference-velocity heuristic, whose velocity
+    noise violated the integrator transition model (GP energy ~1e8/sample
+    at H=32 instead of the prior's expected n/2).  Matches the reference
+    planners' prior sampling configured by ``sigma_gp_init`` /
+    ``sigma_start_init`` / ``sigma_goal_init``.
     start/goal: (2d,) -> (num_samples, H, 2d)
     """
-    mean = straight_line_trajs(start_state, goal_state, H)
     m = start_state.shape[-1]
     d = m // 2
+    mean = gp_bridge_mean(start_state, goal_state, H, dt, sigma_gp_init)
+    M = gp_bridge_sampler_matrix(d, H, dt, sigma_gp_init, dtype=mean.dtype)
     key_w, _ = jax.random.split(key)
-    dw = jax.random.normal(key_w, (num_samples, H, d), mean.dtype)
-    w = jnp.cumsum(dw, axis=-2) * jnp.sqrt(dt) * sigma_gp_init
-    t_frac = jnp.linspace(0.0, 1.0, H, dtype=mean.dtype)[:, None]
-    bridge = w - t_frac * w[..., -1:, :]
-    vel_noise = jnp.gradient(bridge, axis=-2) / dt
-    noise = jnp.concatenate([bridge, vel_noise], axis=-1)
+    xi = jax.random.normal(key_w, (num_samples, H * m), mean.dtype)
+    noise = (xi @ M.T).reshape((num_samples, H, m))
+    # plain broadcasting, as before: callers pass num_samples=B with batched
+    # endpoints for one sample per problem, or unbatched endpoints for
+    # num_samples particles
     return mean + noise
