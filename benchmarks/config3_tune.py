@@ -47,13 +47,15 @@ def main():
     goal = jnp.concatenate([goal_q, jnp.zeros(7)])
 
     def params_at(iters):
+        # sigmas rescaled ~2.7x for the exact conditioned-GP sampler (equal
+        # position spread to the Brownian heuristic this was tuned with)
         return GPMP2Params(n_support_points=64, dt=0.04, opt_iters=iters,
                            sigma_start=1e-3, sigma_gp=1e-1,
                            sigma_goal_prior=1e-2, sigma_coll=5e-4,
-                           step_size=0.8)
+                           step_size=0.8, sigma_gp_init=0.5)
 
     theta0 = sample_gp_prior_trajs(jax.random.PRNGKey(0), start, goal, 64, B,
-                                   0.04, 0.05)
+                                   0.04, 0.13)
 
     @jax.jit
     def free_fn(trajs):

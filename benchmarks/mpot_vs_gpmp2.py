@@ -45,8 +45,14 @@ def run_env(name, task, start, goal, B, mpot_overrides=None):
     from torch_robotics_tpu.tasks import PlanningTask
 
     d = task.robot.q_dim
-    gpmp2_params = GPMP2Params.from_preset(
-        task.env.get_gpmp2_params(task.robot))
+    try:
+        gpmp2_params = GPMP2Params.from_preset(
+            task.env.get_gpmp2_params(task.robot))
+    except NotImplementedError:
+        # e.g. EnvSpheres3D ships a Panda-only gpmp2 preset (reference
+        # env_spheres_3d.py); GPMP2Params defaults mirror the reference's
+        # point-mass preset values
+        gpmp2_params = GPMP2Params(opt_iters=300)
     gpmp2_params = GPMP2Params(**{**gpmp2_params.__dict__, "num_samples": B})
     theta0 = gpmp2_init_trajs(jax.random.PRNGKey(0), gpmp2_params,
                               start, goal)

@@ -75,7 +75,8 @@ def plan_hybrid(task, start_q, goal_q,
 
 def plan_mpot_gpmp2(task, theta0, start_state, goal_state,
                     mpot_params=None, gpmp2_params=None,
-                    polish_iters: int = 50, key=None):
+                    polish_iters: int = 50, key=None,
+                    fallback_polish: bool = True):
     """Sinkhorn-step exploration + Gauss-Newton polish.
 
     The production MPOT pipeline: the OT stage routes the trajectory
@@ -86,6 +87,16 @@ def plan_mpot_gpmp2(task, theta0, start_state, goal_state,
     GPMP2 at 50 iterations from a GP-prior init, with BETTER smoothness
     (6.35 vs 6.61) and path length (2.24 vs 2.28); the OT stage costs ~1%
     of the GN stage's wall-clock.
+
+    fallback_polish: in dense scenes the OT stage can damage the ensemble —
+    bounded Sinkhorn steps cannot make topological detours, so waypoints
+    park against obstacle boundaries where the hinge is inactive and the
+    polish inherits a worse init than the GP prior (EnvDense2D: pipeline
+    0.20 free vs 0.55 for plain GPMP2@50 from the same init).  With the
+    fallback, trajectories whose polished result is still in collision are
+    ALSO polished from the original theta0 and the better of the two is
+    kept per trajectory (standard multi-start selection; the second polish
+    reuses the same compiled solve).
     """
     from .mpot import MPOTParams, mpot_solve
 
@@ -116,4 +127,18 @@ def plan_mpot_gpmp2(task, theta0, start_state, goal_state,
                             "opt_iters": polish_iters})
     result = gpmp2_solve(task.collision_residuals, res_mpot.trajs,
                          start_state, goal_state, polish)
+    if fallback_polish:
+        free = ~task.trajs_collision_masks(result.trajs[..., :d])[0]
+        if not bool(free.all()):
+            res_fb = gpmp2_solve(task.collision_residuals, theta0,
+                                 start_state, goal_state, polish)
+            free_fb = ~task.trajs_collision_masks(res_fb.trajs[..., :d])[0]
+            # keep the pipeline result where it is free (or where neither
+            # is); take the fallback where only it is free
+            take_fb = free_fb & ~free
+            result = GPMP2Result(
+                trajs=jnp.where(take_fb[:, None, None], res_fb.trajs,
+                                result.trajs),
+                costs=jnp.where(take_fb, res_fb.costs, result.costs),
+                cost_trace=result.cost_trace)
     return result, res_mpot
