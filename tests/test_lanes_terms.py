@@ -116,3 +116,40 @@ def test_fk_positions_lanes_matches_aos():
         np.asarray(sub),
         np.asarray(t_ref[..., jnp.asarray([0, 3, model.n_links - 1]), :]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_multirobot_structured_terms_match_generic():
+    """Block-structured MultiRobot terms == padded generic path, both layouts.
+
+    The structured path (ops/lanes_fk.obstacle_terms_lanes_multirobot_factory)
+    keeps member rows at member width and reduces each Hessian block only
+    over the rows that touch it (config 4: 2.6x end-to-end); the generic
+    branch is kept behind _MULTIROBOT_STRUCTURED for this A/B.
+    """
+    from torch_robotics_tpu.core import z_rot
+    from torch_robotics_tpu.ops import lanes_fk
+    from torch_robotics_tpu.robots import MultiRobot
+
+    robots = [RobotPanda.create(), RobotUR10()]
+    poses = [(jnp.eye(3), jnp.array([0.2, 0.55, 0.0])),
+             (z_rot(jnp.array(jnp.pi)), jnp.array([0.2, -0.55, 0.0]))]
+    robot = MultiRobot.create(robots, poses)
+    task = PlanningTask(env=EnvSpheres3D(), robot=robot,
+                        obstacle_cutoff_margin=0.02)
+    d = robot.q_dim
+    q = jax.random.uniform(
+        jax.random.PRNGKey(3), (d, 16),
+        minval=jnp.tile(robot.q_min[:, None], (1, 16)),
+        maxval=jnp.tile(robot.q_max[:, None], (1, 16)))
+    t_new = lanes_fk.obstacle_terms_lanes_multirobot_factory(task)
+    lanes_fk._MULTIROBOT_STRUCTURED = False
+    try:
+        t_old = lanes_fk.obstacle_terms_lanes_factory(task)
+    finally:
+        lanes_fk._MULTIROBOT_STRUCTURED = True
+    for kwargs in ({}, {"h": 4}):
+        out_new = t_new(q, 50.0, **kwargs)
+        out_old = t_old(q, 50.0, **kwargs)
+        for a, b in zip(out_new, out_old):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=1e-4)

@@ -109,3 +109,43 @@ def test_straight_line_trajs():
     np.testing.assert_allclose(th[0, :2], [0, 0], atol=1e-6)
     np.testing.assert_allclose(th[-1, :2], [1, 2], atol=1e-6)
     np.testing.assert_allclose(th[5, :2], [0.5, 1.0], atol=1e-6)
+
+
+def test_gp_bridge_mean_and_exact_sampler():
+    """Conditioned-GP bridge: mean pins endpoint states (zero velocities),
+    and exact samples carry prior-scale GP energy (the retired Brownian
+    finite-difference heuristic carried ~1e8 at these shapes)."""
+    from torch_robotics_tpu.solve.gp_prior import (
+        gp_bridge_mean, gp_bridge_sampler_matrix)
+
+    d, H, dt, sig = 2, 32, 0.04, 0.1
+    start = jnp.array([-0.5, -0.5, 0.0, 0.0])
+    goal = jnp.array([0.5, 0.7, 0.0, 0.0])
+    mu = gp_bridge_mean(start, goal, H, dt, sig)
+    np.testing.assert_allclose(np.asarray(mu[0]), np.asarray(start),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mu[-1]), np.asarray(goal),
+                               atol=1e-4)
+    # POSITION transition residuals of the mean are tiny (a*dt^2/2 for the
+    # bridge's deterministic acceleration a ~ 3 rad/s^2); velocity
+    # residuals equal a*dt by construction — that's the acceleration the
+    # prior's process noise models, not an inconsistency
+    Phi = gp_transition(d, dt, mu.dtype)
+    e = mu[1:] - mu[:-1] @ Phi.T
+    assert float(jnp.abs(e[:, :d]).max()) < 5e-3
+
+    # sample energy: E[eps^T P eps] = n; measure against the same precision
+    M = gp_bridge_sampler_matrix(d, H, dt, sig)
+    n = H * 2 * d
+    xi = jax.random.normal(jax.random.PRNGKey(0), (512, n))
+    eps = xi @ M.T
+    Qi = gp_Q_inv(d, dt, sig, mu.dtype)
+    seq = eps.reshape(512, H, 2 * d)
+    e = seq[:, 1:] - seq[:, :-1] @ Phi.T
+    energy = jnp.einsum("bti,ij,btj->b", e, Qi, e)
+    mean_E = float(energy.mean())
+    # transition part of E[eps^T P eps] is n minus the endpoint-prior share
+    assert 0.5 * n < mean_E < 1.5 * n, mean_E
+    # endpoints pinned to the 1e-5 prior
+    assert float(jnp.abs(seq[:, 0]).max()) < 1e-3
+    assert float(jnp.abs(seq[:, -1]).max()) < 1e-3

@@ -67,3 +67,24 @@ def test_sgpmp_solves_dense2d(setup):
     assert res.trajs.shape == theta0.shape
     assert bool(jnp.all(jnp.isfinite(res.trajs)))
     assert float(res.cost_trace[-1].mean()) < float(res.cost_trace[0].mean())
+
+
+def test_sgpmp_cost_trace_monotone(setup):
+    """The per-problem monotone acceptance guard: the carried cost can
+    never increase (without it the MPPI-weighted average walked uphill on
+    the hinge landscape and diverged)."""
+    task = setup
+    start, goal = endpoints()
+    params = SGPMPParams(n_support_points=32, dt=0.04, opt_iters=30,
+                         num_samples=16, sigma_coll=1e-3, temperature=1.0,
+                         sigma_gp_sample=0.1, sigma_start=1e-4,
+                         sigma_goal_prior=1e-4)
+    theta0 = gpmp2_init_trajs(
+        jax.random.PRNGKey(2),
+        type("P", (), {"n_support_points": 32, "dt": 0.04,
+                       "num_samples": 4, "sigma_gp_init": 0.3})(),
+        start, goal)
+    res = sgpmp_solve(task.collision_residuals, theta0, start, goal, params,
+                      key=jax.random.PRNGKey(3))
+    tr = np.asarray(res.cost_trace)        # (iters, B)
+    assert (np.diff(tr, axis=0) <= 1e-3).all()
