@@ -117,31 +117,42 @@ def main():
     }
     print("ilqr_batch", json.dumps(results["ilqr_batch"]), flush=True)
 
-    # ---- receding-horizon iLQR MPC (control warm start) -------------------
+    # ---- receding-horizon iLQR MPC: plan & track --------------------------
+    # tracking a converged plan's waypoints (x_ref windows) instead of
+    # pulling straight at the goal point: a point-attractor regulator drags
+    # the arm THROUGH any obstacle its pull line crosses (exec-free 0.42),
+    # while tracking inherits the plan's detours (exec-free == plan free).
+    # The control cost matters too: near-free controls (r=1e-6) make the
+    # executed loop non-contractive (velocities diverged, dist 1.4 -> 19.7)
     n_mpc = 3 if args.small else 30
-    # receding-horizon configuration: meaningful control cost (near-free
-    # controls make the executed loop non-contractive — accelerations hit
-    # ~5e3 rad/s^2 and velocities diverge) + position-only running goal
-    # pull (terminal-only cost never contracts: "always H steps left")
-    p_mpc = ILQRParams(n_support_points=H, dt=0.04, opt_iters=3,
+    H_trk = 8 if args.small else 16
+    p_mpc = ILQRParams(n_support_points=H_trk, dt=0.04, opt_iters=3,
                        sigma_coll=2e-3, sigma_goal_prior=5e-3,
                        sigma_goal_running=0.05, r_control=1e-3)
 
     @jax.jit
-    def mpc_rollout_ilqr(start, goal):
-        def body(carry, _):
+    def mpc_rollout_ilqr(start, goal, plan_trajs):
+        pad = jnp.broadcast_to(goal[:, None],
+                               (B, H_trk + n_mpc, 2 * d))
+        ref_full = jnp.concatenate([plan_trajs, pad], axis=1)
+
+        def body(carry, t):
             x, u_warm = carry
+            refs = jax.lax.dynamic_slice_in_dim(
+                ref_full, t + 1, H_trk, axis=1)
             res = ilqr_solve(task.collision_residuals, x, goal, p_mpc,
-                             u_init=u_warm)
+                             u_init=u_warm, x_ref=refs)
             x_next = res.trajs[..., 1, :]
             u_next = jnp.concatenate(
                 [res.controls[..., 1:, :], res.controls[..., -1:, :]], -2)
             return (x_next, u_next), x_next
-        u0 = jnp.zeros(start.shape[:-1] + (H - 1, d))
-        (_, _), xs_exec = jax.lax.scan(body, (start, u0), None, length=n_mpc)
+        u0 = jnp.zeros(start.shape[:-1] + (H_trk - 1, d))
+        (_, _), xs_exec = jax.lax.scan(body, (start, u0),
+                                       jnp.arange(n_mpc))
         return xs_exec                                 # (n_mpc, B, 2d)
 
-    dt_m, xs_exec = timed_fetch(mpc_rollout_ilqr, start, goal)
+    # the batch row's converged solve IS the plan
+    dt_m, xs_exec = timed_fetch(mpc_rollout_ilqr, start, goal, res.trajs)
     dists = jnp.linalg.norm(xs_exec[..., :d] - goal[None, :, :d], axis=-1)
     exec_trajs = jnp.swapaxes(xs_exec[..., :d], 0, 1)  # (B, n_mpc, d)
     results["ilqr_mpc"] = {

@@ -176,15 +176,15 @@ def config_panda(small: bool):
     ee_terms = make_ee_goal_terms(robot, H_target, sigma_ee=1e-3, w_rot=0.2)
     start = jnp.concatenate([starts_q, jnp.zeros(7)])
     goal = jnp.concatenate([goal_q, jnp.zeros(7)])
-    # production policy (benchmarks/config3_tune.py sweep): 50 main GN
-    # iters + one 30-iter random restart of collision-failing trajectories
-    # — 99.3% collision-free at 2.2x the throughput of the old fixed-150
-    # schedule (which reached only 91.2%)
+    # production policy (benchmarks/config3_tune.py sweep, re-run for the
+    # exact-sampler inits): 30 main GN iters + TWO 30-iter random restarts
+    # of collision-failing trajectories — 99.5% collision-free at 1,841
+    # trajs/s (fixed-150 reaches only 86.6%; one restart round 97.3%)
     # sigma_gp_init/init-sigma scaled ~2.7x when sample_gp_prior_trajs moved
     # to the exact conditioned-GP sampler (equal mid-horizon position spread
     # to the Brownian heuristic these values were originally tuned with)
     params = GPMP2Params(n_support_points=64, dt=0.04,
-                         opt_iters=20 if small else 50,
+                         opt_iters=20 if small else 30,
                          sigma_start=1e-3, sigma_gp=1e-1,
                          sigma_goal_prior=1e-2, sigma_coll=5e-4,
                          step_size=0.8, sigma_gp_init=0.5)
@@ -198,7 +198,7 @@ def config_panda(small: bool):
 
     res, dt = _timed(lambda th: gpmp2_solve_restarts(
         task.collision_residuals, th, start, goal, params, free_fn,
-        jax.random.PRNGKey(42), ee_goal_terms=ee_terms, restart_rounds=1,
+        jax.random.PRNGKey(42), ee_goal_terms=ee_terms, restart_rounds=2,
         restart_iters=10 if small else 30), theta0, repeats=1)
     out = _trajopt_metrics(task, res, dt, B)
     q_final = res.trajs[:, -1, :7]

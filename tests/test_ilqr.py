@@ -130,3 +130,35 @@ def test_ilqr_extreme_weight_ratio_stays_finite_and_converges():
     # every problem must at least halve its goal distance (the dense sweep
     # left distF == dist0 exactly); most reach ~1e-4
     assert bool((distF < 0.5 * dist0).all()), (dist0, distF)
+
+
+def test_ilqr_tracking_follows_reference(circle_tasks, solved):
+    """x_ref tracking mode: a short-horizon controller tracking a converged
+    plan's waypoints stays on the plan's detour around the obstacle, where
+    point-goal regulation would pull straight through it."""
+    solver_task, eval_task = circle_tasks
+    plan = solved.trajs                       # (2, 32, 4) converged plans
+    H_trk, n_exec = 8, 24
+    p_trk = ILQRParams(n_support_points=H_trk, dt=PARAMS.dt, opt_iters=3,
+                       sigma_coll=1e-2, sigma_goal_prior=1e-2,
+                       sigma_goal_running=0.05, r_control=1e-3)
+    pad = jnp.broadcast_to(GOAL[:, None], (2, H_trk + n_exec, 4))
+    ref_full = jnp.concatenate([plan, pad], axis=1)
+    x = START
+    u_warm = jnp.zeros((2, H_trk - 1, 2))
+    xs = [x]
+    for t in range(n_exec):
+        refs = jax.lax.dynamic_slice_in_dim(ref_full, t + 1, H_trk, axis=1)
+        res = ilqr_solve(solver_task.collision_residuals, x, GOAL, p_trk,
+                         u_init=u_warm, x_ref=refs)
+        x = res.trajs[:, 1, :]
+        u_warm = jnp.concatenate([res.controls[:, 1:],
+                                  res.controls[:, -1:]], 1)
+        xs.append(x)
+    exec_traj = jnp.stack(xs, axis=1)
+    # executed path stays collision-free (the plans are free around the
+    # central circle) and tracks the plan closely
+    assert eval_task.compute_fraction_free_trajs(exec_traj[..., :2]) == 1.0
+    dev = jnp.linalg.norm(
+        exec_traj[:, 1:, :2] - plan[:, 1:n_exec + 1, :2], axis=-1)
+    assert float(dev.max()) < 0.15, float(dev.max())

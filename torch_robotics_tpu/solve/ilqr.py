@@ -77,47 +77,53 @@ def _rollout(x0, U, Phi, Bm):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-def _make_costs(residual_fn, goal_state, params: ILQRParams, d: int):
+def _make_costs(residual_fn, refs, params: ILQRParams, d: int):
+    """refs (H, m): per-step targets of the running/terminal goal costs —
+    a broadcast goal state (regulation) or a planned trajectory window
+    (tracking MPC)."""
     lam = 1.0 / (params.sigma_coll ** 2)
     kg = 1.0 / (params.sigma_goal_prior ** 2)
     kr = (0.0 if params.sigma_goal_running == 0.0
           else 1.0 / (params.sigma_goal_running ** 2))
     r = params.r_control
 
-    def run_cost(x, u):
+    def run_cost(x, u, ref):
         res = residual_fn(x[:d])
         c = 0.5 * lam * jnp.sum(jnp.square(res)) + 0.5 * r * jnp.sum(
             jnp.square(u))
         if kr:
-            c = c + 0.5 * kr * jnp.sum(
-                jnp.square(x[:d] - goal_state[..., :d]))
+            c = c + 0.5 * kr * jnp.sum(jnp.square(x[:d] - ref[..., :d]))
         return c
 
     def term_cost(x):
-        return 0.5 * kg * jnp.sum(jnp.square(x - goal_state))
+        return 0.5 * kg * jnp.sum(jnp.square(x - refs[-1]))
 
     def total_cost(xs, U):
-        rc = jax.vmap(run_cost)(xs[:-1], U)
+        rc = jax.vmap(run_cost)(xs[:-1], U, refs[:-1])
         return jnp.sum(rc) + term_cost(xs[-1])
 
     return run_cost, term_cost, total_cost, lam, kg, kr, r
 
 
 def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
-                 u_init=None):
-    """iLQR for one problem: x0 (m,), goal_state (m,).  vmap over batches."""
+                 u_init=None, x_ref=None):
+    """iLQR for one problem: x0 (m,), goal_state (m,).  vmap over batches.
+    x_ref (H, m) optional reference trajectory for the goal costs
+    (tracking mode); defaults to the goal state at every step."""
     m = x0.shape[-1]
     d = m // 2
     H = params.n_support_points
     dtype = x0.dtype
+    refs = (jnp.broadcast_to(goal_state, (H, m)) if x_ref is None
+            else x_ref)
     Phi, Bm = _dynamics_mats(d, params.dt, dtype)
     run_cost, term_cost, total_cost, lam, kg, kr, r = _make_costs(
-        residual_fn, goal_state, params, d)
+        residual_fn, refs, params, d)
     sqrt_kr = kr ** 0.5
 
     raj = getattr(residual_fn, "residuals_and_jacobian", None)
 
-    def quadratize_state(x):
+    def quadratize_state(x, ref):
         """Gauss-Newton gradient + FACTORED Hessian of the obstacle term.
 
         Returns (l_x (m,), F (P, m)) with l_xx = F^T F: the GN structure
@@ -137,7 +143,7 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
             axis=-1)                                  # (P, m)
         if kr:
             l_x = l_x + kr * jnp.concatenate(
-                [x[:d] - goal_state[..., :d], jnp.zeros((m - d,), dtype)])
+                [x[:d] - ref[..., :d], jnp.zeros((m - d,), dtype)])
             F = jnp.concatenate(
                 [F, sqrt_kr * jnp.eye(d, m, dtype=dtype)], axis=0)  # rows +d
         return l_x, F
@@ -164,10 +170,10 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
         eigenvalues, Vxx goes indefinite, and cholesky(Quu) returns NaN
         from step 2 on.  Dynamic range here is sqrt(kg)/sqrt(r) instead.
         """
-        l_x_T = kg * (xs[-1] - goal_state)
+        l_x_T = kg * (xs[-1] - refs[-1])
         S_T = jnp.sqrt(kg) * eye_m
 
-        l_xs, Fs = jax.vmap(quadratize_state)(xs[:-1])
+        l_xs, Fs = jax.vmap(quadratize_state)(xs[:-1], refs[:-1])
         P = Fs.shape[-2]
         zeros_du = jnp.zeros((d, m), dtype)
         zeros_Pd = jnp.zeros((P, d), dtype)
@@ -234,7 +240,7 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
 
 @partial(jax.jit, static_argnames=("residual_fn", "params"))
 def ilqr_solve(residual_fn: Callable, start_state, goal_state,
-               params: ILQRParams, u_init=None) -> ILQRResult:
+               params: ILQRParams, u_init=None, x_ref=None) -> ILQRResult:
     """Batched iLQR solve.
 
     residual_fn: (d,) -> (P,) per-waypoint hinge obstacle residuals (e.g.
@@ -243,6 +249,10 @@ def ilqr_solve(residual_fn: Callable, start_state, goal_state,
     start_state/goal_state: (..., 2d).  u_init (optional): warm-start
     controls (..., H-1, d) — e.g. from a previous MPC step or a
     coarse plan; defaults to a zero-control rollout.
+    x_ref (optional): (..., H, 2d) reference trajectory for the
+    running/terminal goal costs — tracking-MPC mode: a receding window of
+    a converged plan, so the controller follows the plan's detours instead
+    of pulling straight at a point target through obstacles.
     Returns dynamically-feasible trajectories (states obey the double
     integrator exactly).  Runs at float32 matmul precision like the GN
     solver (the Riccati recursions inherit the GN systems' conditioning).
@@ -253,12 +263,18 @@ def ilqr_solve(residual_fn: Callable, start_state, goal_state,
         if batch:
             flat_s = start_state.reshape((-1, start_state.shape[-1]))
             flat_g = goal_state.reshape((-1, goal_state.shape[-1]))
-            if u_init is None:
-                res = jax.vmap(lambda s, g: solve(s, g))(flat_s, flat_g)
+            opt = {}
+            if u_init is not None:
+                opt["u_init"] = u_init.reshape((-1,) + u_init.shape[-2:])
+            if x_ref is not None:
+                opt["x_ref"] = x_ref.reshape((-1,) + x_ref.shape[-2:])
+            if opt:
+                in_axes = {k: 0 for k in opt}
+                res = jax.vmap(
+                    lambda s, g, kw: solve(s, g, **kw),
+                    in_axes=(0, 0, in_axes))(flat_s, flat_g, opt)
             else:
-                flat_u = u_init.reshape((-1,) + u_init.shape[-2:])
-                res = jax.vmap(lambda s, g, u: solve(s, g, u_init=u))(
-                    flat_s, flat_g, flat_u)
+                res = jax.vmap(lambda s, g: solve(s, g))(flat_s, flat_g)
             return ILQRResult(
                 trajs=res.trajs.reshape(batch + res.trajs.shape[1:]),
                 controls=res.controls.reshape(batch + res.controls.shape[1:]),
@@ -267,4 +283,4 @@ def ilqr_solve(residual_fn: Callable, start_state, goal_state,
                     res.cost_trace, -1, 0).reshape(
                         (params.opt_iters,) + batch)
                 if res.cost_trace.ndim > 1 else res.cost_trace)
-        return solve(start_state, goal_state, u_init=u_init)
+        return solve(start_state, goal_state, u_init=u_init, x_ref=x_ref)
