@@ -564,6 +564,67 @@ def obstacle_terms_lanes_factory(task):
 
     obj_pts_pos_np = np.asarray(obj_pts_pos, np.int32)
 
+    # --- chain-depth (prefix) column-support structure -------------------
+    # On a serial chain, a collision point at link L has structurally zero
+    # Jacobian columns for every joint past L.  With rows depth-ASCENDING
+    # inside each residual part, the per-column g/H reduces only need the
+    # SUFFIX of rows whose chain reaches that column: 252 -> 112
+    # multiply-reduce elements for the Panda Hessian (2.25x).  part-depth
+    # None = no structure (dense, start 0 for every column).
+    pts_supp = None
+    if (not isinstance(robot, (RobotPointMass, MultiRobot))
+            and hasattr(robot, "model")):
+        anc = np.asarray(robot.model.ancestry_matrix())
+
+        def _supp(link):
+            row = np.asarray(anc[link]).astype(bool)
+            k = int(row.sum())
+            return k if bool(row[:k].all()) else None   # prefix supports only
+
+        supp_list, ok = [], True
+        for li in used_links:
+            s = _supp(li)
+            ok = ok and s is not None
+            supp_list.append(s)
+        if robot.grasped_n_points > 0:
+            gi = robot.model.link_index(robot.link_name_grasped_object)
+            s = _supp(gi)
+            ok = ok and s is not None
+            supp_list += [s] * robot.grasped_n_points
+        if ok:
+            obj_depth_seq = [supp_list[p] for p in obj_pts_pos]
+            if all(a <= b for a, b in
+                   zip(obj_depth_seq, obj_depth_seq[1:])):
+                pts_supp = supp_list
+
+    obj_part_depth = (np.asarray([pts_supp[p] for p in obj_pts_pos])
+                      if pts_supp is not None else None)
+    pair_a_pos = pair_b_pos = pair_depth = pair_perm = None
+    if self_pts_pos is not None and pair_idxs is not None \
+            and len(pair_idxs) > 0:
+        pair_a_pos = np.asarray([self_pts_pos[ia] for ia, _ in pair_idxs],
+                                np.int32)
+        pair_b_pos = np.asarray([self_pts_pos[ib] for _, ib in pair_idxs],
+                                np.int32)
+        if pts_supp is not None:
+            dep = np.maximum(
+                np.asarray([pts_supp[p] for p in pair_a_pos]),
+                np.asarray([pts_supp[p] for p in pair_b_pos]))
+            pair_perm = np.argsort(dep, kind="stable").astype(np.int32)
+            pair_a_pos = pair_a_pos[pair_perm]
+            pair_b_pos = pair_b_pos[pair_perm]
+            pair_depth = dep[pair_perm]
+
+    def _col_starts(depths):
+        """starts[j] = first row (depth-ascending) whose chain reaches
+        column j; None depths -> all zeros (dense)."""
+        if depths is None:
+            return None
+        return [int(np.searchsorted(depths, j + 1)) for j in range(d)]
+
+    obj_starts = _col_starts(obj_part_depth)
+    pair_starts = _col_starts(pair_depth)
+
     def terms(q_cols, lam, h=None):
         """q_cols (d, N) -> GN obstacle terms.
 
@@ -592,7 +653,7 @@ def obstacle_terms_lanes_factory(task):
                 for j in range(d)])
             for p in range(P_pts)])
 
-        r_parts, Jr_parts = [], []
+        r_parts, Jr_parts, part_starts = [], [], []
 
         def contract_ws(grad, J_sub):
             """sum_k grad[k] * J_sub[..., k, :]: (ws_dim, P, N) x
@@ -604,13 +665,14 @@ def obstacle_terms_lanes_factory(task):
                 s = s + grad[k][:, None, :] * J_sub[:, :, k, :]
             return s
 
-        def hinge_rows(margins_vec, val, grad, J_sub):
+        def hinge_rows(margins_vec, val, grad, J_sub, starts=None):
             """val (P?, N), grad (ws_dim, P?, N), J_sub (P?, d, ws_dim, N)."""
             r = jax.nn.relu(margins_vec[:, None] + cutoff - val)
             act = (r > 0).astype(dtype)
             Jr = -act[:, None, :] * contract_ws(grad, J_sub)
             r_parts.append(r)
             Jr_parts.append(Jr)
+            part_starts.append(starts)
 
         obj_pts_sub = pts_arr[:, obj_pts_pos_np]          # (ws_dim, P_obj, N)
         J_obj_sub = J_arr[obj_pts_pos_np]                 # (P_obj, d, ws_dim, N)
@@ -624,7 +686,7 @@ def obstacle_terms_lanes_factory(task):
                                                      ws_dim)
             val = val_flat.reshape(P_obj, N)
             grad = jnp.stack([g.reshape(P_obj, N) for g in grad_flat])
-            hinge_rows(obj_margins, val, grad, J_obj_sub)
+            hinge_rows(obj_margins, val, grad, J_obj_sub, obj_starts)
 
         # --- workspace bounds: closed-form min-face distance + gradient ---
         d_lo = obj_pts_sub - jnp.asarray(ws_min, dtype)[:, None, None]
@@ -637,27 +699,25 @@ def obstacle_terms_lanes_factory(task):
         axis_id = jnp.where(amin < ws_dim, amin, amin - ws_dim)
         grad_ws = jnp.stack([sign * (axis_id == k).astype(dtype)
                              for k in range(ws_dim)])     # (ws_dim, P, N)
-        hinge_rows(obj_margins, val_ws, grad_ws, J_obj_sub)
+        hinge_rows(obj_margins, val_ws, grad_ws, J_obj_sub, obj_starts)
 
-        # --- self-collision pairs ---
-        if self_pts_pos is not None and pair_idxs is not None \
-                and len(pair_idxs) > 0:
-            a_pos = np.asarray([self_pts_pos[ia] for ia, _ in pair_idxs],
-                               np.int32)
-            b_pos = np.asarray([self_pts_pos[ib] for _, ib in pair_idxs],
-                               np.int32)
-            diff = pts_arr[:, a_pos] - pts_arr[:, b_pos]  # (3, K, N)
+        # --- self-collision pairs (depth-sorted static index arrays) ---
+        if pair_a_pos is not None:
+            margins_p = (self_margins[jnp.asarray(pair_perm)]
+                         if pair_perm is not None else self_margins)
+            diff = pts_arr[:, pair_a_pos] - pts_arr[:, pair_b_pos]
             d2 = jnp.sum(jnp.square(diff), axis=0)
             nz = d2 > 0
             dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
             inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
             u = diff * inv[None]                          # (3, K, N)
-            r_s = jax.nn.relu(self_margins[:, None] - dist)
+            r_s = jax.nn.relu(margins_p[:, None] - dist)
             act = (r_s > 0).astype(dtype)
-            J_d = J_arr[a_pos] - J_arr[b_pos]             # (K, d, 3, N)
+            J_d = J_arr[pair_a_pos] - J_arr[pair_b_pos]   # (K, d, 3, N)
             Jr_s = -act[:, None, :] * contract_ws(u, J_d)
             r_parts.append(r_s)
             Jr_parts.append(Jr_s)
+            part_starts.append(pair_starts)
 
         # --- learned self-collision net (one residual row per waypoint) ---
         if self_net is not None:
@@ -668,55 +728,69 @@ def obstacle_terms_lanes_factory(task):
             act_n = (r_n > 0).astype(dtype)
             r_parts.append(r_n[None])
             Jr_parts.append((-act_n[:, None] * g_net).T[None])
+            part_starts.append(None)
 
-        r_all = jnp.concatenate(r_parts, axis=0)          # (P_res, N)
-        Jr_all = jnp.concatenate(Jr_parts, axis=0)        # (P_res, d, N)
+        # --- assembly: per-part suffix-sliced reduces (J^T r, J^T J as
+        # unrolled reduce-over-rows of elementwise products — einsum lowers
+        # to a lane-batched dot_general whose B-major output forces a
+        # transpose; see solver history in CLAUDE.md).  starts[j] skips the
+        # rows whose chain never reaches column j ---
+        if h is not None:
+            Bl = N // h
+            parts = [(r.reshape(-1, h, Bl),
+                      Jr.reshape(-1, d, h, Bl), st)
+                     for r, Jr, st in zip(r_parts, Jr_parts, part_starts)]
+            stack_g, stack_h = 1, 1
+            zero_ent = jnp.zeros((h, Bl), dtype)
+        else:
+            parts = list(zip(r_parts, Jr_parts, part_starts))
+            stack_g, stack_h = 0, 0
+            zero_ent = jnp.zeros((N,), dtype)
+
+        def red_g(j):
+            acc = None
+            for r_p, Jr_p, st in parts:
+                s = 0 if st is None else st[j]
+                if s >= r_p.shape[0]:
+                    continue
+                t = jnp.sum(r_p[s:] * Jr_p[s:, j], axis=0)
+                acc = t if acc is None else acc + t
+            return zero_ent if acc is None else acc
+
+        def red_h(i, j):
+            k = max(i, j)
+            acc = None
+            for _, Jr_p, st in parts:
+                s = 0 if st is None else st[k]
+                if s >= Jr_p.shape[0]:
+                    continue
+                t = jnp.sum(Jr_p[s:, i] * Jr_p[s:, j], axis=0)
+                acc = t if acc is None else acc + t
+            return zero_ent if acc is None else acc
+
+        g_cols = [red_g(j) for j in range(d)]
+        H_rows = []
+        for i in range(d):
+            row = []
+            for j in range(d):
+                row.append(H_rows[j][i] if j < i else red_h(i, j))
+            H_rows.append(row)
+        cost = 0.5 * lam * sum(
+            jnp.sum(jnp.square(r_p), axis=0) for r_p, _, _ in parts)
 
         if h is not None:
-            # free view: lane order is h-major (n = h * B + b)
-            Bl = N // h
-            r_h = r_all.reshape(-1, h, Bl)
-            Jr_h = Jr_all.reshape(-1, d, h, Bl)
-            # J^T r and J^T J as unrolled reduce-over-P of elementwise
-            # products (einsum -> dot_general batched on lanes -> B-major
-            # output + transpose; see solver history in CLAUDE.md)
-            g_q = lam * jnp.stack(
-                [jnp.sum(r_h * Jr_h[:, j], axis=0) for j in range(d)],
-                axis=1)                                            # (h, d, B)
-            H_rows = []
-            for i in range(d):
-                row = []
-                for j in range(d):
-                    if j < i:
-                        row.append(H_rows[j][i])
-                    else:
-                        row.append(jnp.sum(Jr_h[:, i] * Jr_h[:, j], axis=0))
-                H_rows.append(row)
+            g_q = lam * jnp.stack(g_cols, axis=stack_g)            # (h, d, B)
             H_qq = lam * jnp.stack(
-                [jnp.stack(row, axis=1) for row in H_rows], axis=1)
-            cost = 0.5 * lam * jnp.sum(jnp.square(r_h), axis=0)   # (h, B)
+                [jnp.stack(row, axis=stack_h) for row in H_rows], axis=1)
             g = jnp.concatenate(
                 [g_q, jnp.zeros((h, m - d, Bl), dtype)], axis=1)
             top = jnp.concatenate(
                 [H_qq, jnp.zeros((h, d, m - d, Bl), dtype)], axis=2)
             bot = jnp.zeros((h, m - d, m, Bl), dtype)
-            Hb = jnp.concatenate([top, bot], axis=1)
-            return g, Hb, cost
+            return g, jnp.concatenate([top, bot], axis=1), cost
 
-        g_q = lam * jnp.stack(
-            [jnp.sum(r_all * Jr_all[:, j], axis=0) for j in range(d)])
-        H_rows = []
-        for i in range(d):
-            row = []
-            for j in range(d):
-                if j < i:
-                    row.append(H_rows[j][i])
-                else:
-                    row.append(jnp.sum(Jr_all[:, i] * Jr_all[:, j], axis=0))
-            H_rows.append(row)
+        g_q = lam * jnp.stack(g_cols)
         H_qq = lam * jnp.stack([jnp.stack(row) for row in H_rows])
-        cost = 0.5 * lam * jnp.sum(jnp.square(r_all), axis=0)
-
         # embed into the full state dimension (zeros on the velocity part)
         g = jnp.concatenate([g_q, jnp.zeros((m - d, N), dtype)], axis=0)
         top = jnp.concatenate([H_qq, jnp.zeros((d, m - d, N), dtype)], axis=1)
