@@ -34,6 +34,10 @@ class SGPMPParams:
     sigma_coll: float = 1e-5
     temperature: float = 1.0
     sigma_gp_sample: float = 0.2
+    # per-iteration multiplier on the perturbation scale (annealing:
+    # explore with large smooth moves early, refine with small ones late);
+    # 1.0 = constant scale
+    anneal: float = 1.0
     step_size: float = 0.5
 
     @classmethod
@@ -115,11 +119,12 @@ def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
     M_sample = gp_bridge_sampler_matrix(
         d, H, params.dt, params.sigma_gp_sample, dtype=theta0.dtype)
 
-    def step(carry, key_t):
+    def step(carry, inp):
+        key_t, scale = inp
         theta, cost = carry
         xi = jax.random.normal(key_t, (K,) + theta.shape[:-2] + (H * m,),
                                theta.dtype)
-        noise = (xi @ M_sample.T).reshape((K,) + theta.shape)
+        noise = scale * (xi @ M_sample.T).reshape((K,) + theta.shape)
         cand = theta[None] + noise                 # (K, ..., H, 2d)
         costs = total_cost(cand)                   # (K, ...)
         # temperature acts on the RELATIVE spread of the K sample costs
@@ -143,6 +148,8 @@ def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
         return (theta, cost), cost
 
     keys = jax.random.split(key, params.opt_iters)
+    scales = (params.anneal ** jnp.arange(params.opt_iters)).astype(
+        theta0.dtype)
     (theta, _), cost_trace = jax.lax.scan(
-        step, (theta0, total_cost(theta0)), keys)
+        step, (theta0, total_cost(theta0)), (keys, scales))
     return SGPMPResult(trajs=theta, cost_trace=cost_trace)
