@@ -68,27 +68,6 @@ def _gp_energy(theta, start_state, goal_state, params):
     return E
 
 
-def _bridge_noise(key, shape, dt, sigma):
-    """Smooth endpoint-pinned perturbations: Brownian bridge in position with
-    matched velocities.  shape = (..., H, 2d).
-
-    Pinned at BOTH endpoints: W_0 = 0 (first increment zeroed — a plain
-    cumsum leaves W_0 = dW_0 != 0, so every sample violated the 1e10-weight
-    start prior and the weighted update random-walked the mean off its
-    start state) and B_t = W_t - (t/T) W_T zeroes the end.
-    """
-    H, m = shape[-2], shape[-1]
-    d = m // 2
-    dw = jax.random.normal(key, shape[:-1] + (d,))
-    dw = jnp.concatenate(
-        [jnp.zeros_like(dw[..., :1, :]), dw[..., 1:, :]], axis=-2)
-    w = jnp.cumsum(dw, axis=-2) * jnp.sqrt(dt) * sigma
-    t_frac = jnp.linspace(0.0, 1.0, H)[:, None]
-    bridge = w - t_frac * w[..., -1:, :]
-    vel = jnp.gradient(bridge, axis=-2) / dt
-    return jnp.concatenate([bridge, vel], axis=-1)
-
-
 @partial(jax.jit, static_argnames=("residual_fn", "params"))
 def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
                 params: SGPMPParams, key=None) -> SGPMPResult:
