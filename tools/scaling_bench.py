@@ -109,9 +109,19 @@ def _rollout_rate(task, params, start, goal, steps_lo, steps_hi):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(steps_lo), timed(steps_hi)
     B = start.shape[0]
-    return B * (steps_hi - steps_lo) / max(t_hi - t_lo, 1e-9)
+    t_lo = timed(steps_lo)
+    # guard against degenerate differences (axon timing noise can make the
+    # longer run measure no slower, yielding absurd rates like 1e12); retry
+    # with a longer chain until the delta is clearly above noise
+    for factor in (1, 4, 16):
+        hi = steps_hi * factor
+        t_hi = timed(hi)
+        delta = t_hi - t_lo
+        if delta > max(0.25 * t_lo, 2e-3):
+            return B * (hi - steps_lo) / delta
+    # fall back to the one-shot rate of the longest run (includes dispatch)
+    return B * hi / t_hi
 
 
 def mode_knee(args):
