@@ -86,8 +86,11 @@ def main():
     # configurations near the starts, reachable within the horizon
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     qs, _ = task.random_coll_free_q(k1, n_samples=B, max_samples=B * 64)
+    # goals inset 0.01 rad from the joint limits: a goal exactly ON a
+    # hard stop makes the tracker graze out-of-limits by ~1e-3 rad,
+    # which trajectory validators count as infeasible
     pert = jnp.clip(qs + 0.6 * jax.random.normal(k2, (16, B, d)),
-                    robot.q_min, robot.q_max)
+                    robot.q_min + 0.01, robot.q_max - 0.01)
     free = (task.compute_collision(pert.reshape(-1, d)) == 0).reshape(16, B)
     # first collision-free perturbation per problem (falls back to the
     # start itself if none of the 16 candidates is free)
@@ -101,8 +104,11 @@ def main():
 
     # ---- batched iLQR -----------------------------------------------------
     p = ILQRParams(n_support_points=H, dt=0.04, opt_iters=iters,
-                   sigma_coll=2e-3, sigma_goal_prior=5e-3, r_control=1e-6)
-    solve = jax.jit(lambda s, g: ilqr_solve(task.collision_residuals, s, g, p))
+                   sigma_coll=2e-3, sigma_goal_prior=5e-3,
+                   sigma_limits=5e-3, r_control=1e-6)
+    limits = (robot.q_min, robot.q_max)
+    solve = jax.jit(lambda s, g: ilqr_solve(task.collision_residuals, s, g, p,
+                                            q_limits=limits))
     dt_s, res = timed_fetch(solve, start, goal)
     frac_free = task.compute_fraction_free_trajs(res.trajs)
     goal_dist = float(jnp.linalg.norm(
@@ -128,7 +134,8 @@ def main():
     H_trk = 8 if args.small else 16
     p_mpc = ILQRParams(n_support_points=H_trk, dt=0.04, opt_iters=3,
                        sigma_coll=2e-3, sigma_goal_prior=5e-3,
-                       sigma_goal_running=0.05, r_control=1e-3)
+                       sigma_goal_running=0.05, sigma_limits=5e-3,
+                       r_control=1e-3)
 
     @jax.jit
     def mpc_rollout_ilqr(start, goal, plan_trajs):
@@ -141,7 +148,7 @@ def main():
             refs = jax.lax.dynamic_slice_in_dim(
                 ref_full, t + 1, H_trk, axis=1)
             res = ilqr_solve(task.collision_residuals, x, goal, p_mpc,
-                             u_init=u_warm, x_ref=refs)
+                             u_init=u_warm, x_ref=refs, q_limits=limits)
             x_next = res.trajs[..., 1, :]
             u_next = jnp.concatenate(
                 [res.controls[..., 1:, :], res.controls[..., -1:, :]], -2)

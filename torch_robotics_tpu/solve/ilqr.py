@@ -46,6 +46,13 @@ class ILQRParams:
     # (A/B'd: state-pull sigma=0.1 reaches 0.41 rad in 30 steps, 0.05 only
     # 0.46; position-only is strictly better at equal weight).
     sigma_goal_running: float = 0.0
+    # joint-limit hinge weight (0.0 disables): running cost
+    # 0.5/sigma^2 * (relu(q - q_max)^2 + relu(q_min - q)^2), active only
+    # when limits are passed to ilqr_solve via q_limits — the unconstrained
+    # double integrator otherwise overshoots clipped-to-limit goals and the
+    # executed states leave the joint range (trajectory validators count
+    # out-of-limit states as collisions)
+    sigma_limits: float = 0.0
     r_control: float = 1e-4          # control-effort weight (R = r I)
     mu: float = 1e-6                 # Levenberg regularization on Q_uu
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)   # line-search step sizes
@@ -77,7 +84,8 @@ def _rollout(x0, U, Phi, Bm):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-def _make_costs(residual_fn, refs, params: ILQRParams, d: int):
+def _make_costs(residual_fn, refs, params: ILQRParams, d: int,
+                q_limits=None):
     """refs (H, m): per-step targets of the running/terminal goal costs —
     a broadcast goal state (regulation) or a planned trajectory window
     (tracking MPC)."""
@@ -85,6 +93,8 @@ def _make_costs(residual_fn, refs, params: ILQRParams, d: int):
     kg = 1.0 / (params.sigma_goal_prior ** 2)
     kr = (0.0 if params.sigma_goal_running == 0.0
           else 1.0 / (params.sigma_goal_running ** 2))
+    kl = (0.0 if params.sigma_limits == 0.0 or q_limits is None
+          else 1.0 / (params.sigma_limits ** 2))
     r = params.r_control
 
     def run_cost(x, u, ref):
@@ -93,6 +103,11 @@ def _make_costs(residual_fn, refs, params: ILQRParams, d: int):
             jnp.square(u))
         if kr:
             c = c + 0.5 * kr * jnp.sum(jnp.square(x[:d] - ref[..., :d]))
+        if kl:
+            q = x[:d]
+            c = c + 0.5 * kl * jnp.sum(
+                jnp.square(jax.nn.relu(q - q_limits[1]))
+                + jnp.square(jax.nn.relu(q_limits[0] - q)))
         return c
 
     def term_cost(x):
@@ -102,14 +117,15 @@ def _make_costs(residual_fn, refs, params: ILQRParams, d: int):
         rc = jax.vmap(run_cost)(xs[:-1], U, refs[:-1])
         return jnp.sum(rc) + term_cost(xs[-1])
 
-    return run_cost, term_cost, total_cost, lam, kg, kr, r
+    return run_cost, term_cost, total_cost, lam, kg, kr, kl, r
 
 
 def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
-                 u_init=None, x_ref=None):
+                 u_init=None, x_ref=None, q_limits=None):
     """iLQR for one problem: x0 (m,), goal_state (m,).  vmap over batches.
     x_ref (H, m) optional reference trajectory for the goal costs
-    (tracking mode); defaults to the goal state at every step."""
+    (tracking mode); defaults to the goal state at every step.
+    q_limits optional (q_min (d,), q_max (d,)) for the limit hinge."""
     m = x0.shape[-1]
     d = m // 2
     H = params.n_support_points
@@ -117,9 +133,10 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
     refs = (jnp.broadcast_to(goal_state, (H, m)) if x_ref is None
             else x_ref)
     Phi, Bm = _dynamics_mats(d, params.dt, dtype)
-    run_cost, term_cost, total_cost, lam, kg, kr, r = _make_costs(
-        residual_fn, refs, params, d)
+    run_cost, term_cost, total_cost, lam, kg, kr, kl, r = _make_costs(
+        residual_fn, refs, params, d, q_limits)
     sqrt_kr = kr ** 0.5
+    sqrt_kl = kl ** 0.5
 
     raj = getattr(residual_fn, "residuals_and_jacobian", None)
 
@@ -146,6 +163,15 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
                 [x[:d] - ref[..., :d], jnp.zeros((m - d,), dtype)])
             F = jnp.concatenate(
                 [F, sqrt_kr * jnp.eye(d, m, dtype=dtype)], axis=0)  # rows +d
+        if kl:
+            r_hi = jax.nn.relu(q - q_limits[1])
+            r_lo = jax.nn.relu(q_limits[0] - q)
+            l_x = l_x + kl * jnp.concatenate(
+                [r_hi - r_lo, jnp.zeros((m - d,), dtype)])
+            act = ((r_hi > 0) | (r_lo > 0)).astype(dtype)
+            F = jnp.concatenate(
+                [F, sqrt_kl * act[:, None] * jnp.eye(d, m, dtype=dtype)],
+                axis=0)
         return l_x, F
 
     eye_u = jnp.eye(d, dtype=dtype)
@@ -240,7 +266,8 @@ def _ilqr_single(residual_fn, x0, goal_state, params: ILQRParams,
 
 @partial(jax.jit, static_argnames=("residual_fn", "params"))
 def ilqr_solve(residual_fn: Callable, start_state, goal_state,
-               params: ILQRParams, u_init=None, x_ref=None) -> ILQRResult:
+               params: ILQRParams, u_init=None, x_ref=None,
+               q_limits=None) -> ILQRResult:
     """Batched iLQR solve.
 
     residual_fn: (d,) -> (P,) per-waypoint hinge obstacle residuals (e.g.
@@ -253,12 +280,15 @@ def ilqr_solve(residual_fn: Callable, start_state, goal_state,
     running/terminal goal costs — tracking-MPC mode: a receding window of
     a converged plan, so the controller follows the plan's detours instead
     of pulling straight at a point target through obstacles.
+    q_limits (optional): (q_min (d,), q_max (d,)) joint limits, shared
+    across the batch; activates the ``sigma_limits`` hinge cost.
     Returns dynamically-feasible trajectories (states obey the double
     integrator exactly).  Runs at float32 matmul precision like the GN
     solver (the Riccati recursions inherit the GN systems' conditioning).
     """
     with jax.default_matmul_precision("float32"):
-        solve = partial(_ilqr_single, residual_fn, params=params)
+        solve = partial(_ilqr_single, residual_fn, params=params,
+                        q_limits=q_limits)
         batch = start_state.shape[:-1]
         if batch:
             flat_s = start_state.reshape((-1, start_state.shape[-1]))
