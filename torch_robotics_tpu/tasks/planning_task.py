@@ -204,35 +204,45 @@ class PlanningTask:
                 return jnp.min(jnp.concatenate([p - ws_min, ws_max - p]))
 
             def residuals_and_jacobian(q):
-                """q (d,) -> (r (P,), J (P, d)); same residual ordering as
-                ``residuals``: [objects, ws-bounds, self-pairs]."""
+                """q (..., d) -> (r (..., P), J (..., P, d)); same residual
+                ordering as ``residuals``: [objects, ws-bounds, self-pairs].
+                Batch-polymorphic: batched calls route the FK + analytic
+                point Jacobians through the lanes chain (~20x the vmapped
+                per-sample form; solvers should call it on the whole
+                flattened batch, not under jax.vmap)."""
                 pts_full, J_full = robot.fk_map_collision_with_jac(q)
                 obj_pts = robot.object_collision_points(pts_full)
                 J_obj = robot.select_collision_jacobians(
                     J_full, robot.object_coll_idxs, robot.object_interpolate,
                     robot.object_num_interp)
+                pshape = obj_pts.shape[:-1]
+                flat_pts = obj_pts.reshape((-1, obj_pts.shape[-1]))
                 rs, Js = [], []
                 if df_obj_list:
                     sdf, g_p = jax.vmap(jax.value_and_grad(point_min_sdf))(
-                        obj_pts)
+                        flat_pts)
+                    sdf = sdf.reshape(pshape)
+                    g_p = g_p.reshape(obj_pts.shape)
                     r = jax.nn.relu(robot.object_margins + cutoff - sdf)
                     act = (r > 0).astype(q.dtype)
                     rs.append(r)
-                    Js.append(-act[:, None]
-                              * jnp.einsum("pi,pij->pj", g_p, J_obj))
-                dval, g_w = jax.vmap(jax.value_and_grad(ws_min_dist))(obj_pts)
+                    Js.append(-act[..., None]
+                              * jnp.einsum("...pi,...pij->...pj", g_p, J_obj))
+                dval, g_w = jax.vmap(jax.value_and_grad(ws_min_dist))(flat_pts)
+                dval = dval.reshape(pshape)
+                g_w = g_w.reshape(obj_pts.shape)
                 r_ws = jax.nn.relu(robot.object_margins + cutoff - dval)
                 act_ws = (r_ws > 0).astype(q.dtype)
                 rs.append(r_ws)
-                Js.append(-act_ws[:, None]
-                          * jnp.einsum("pi,pij->pj", g_w, J_obj))
+                Js.append(-act_ws[..., None]
+                          * jnp.einsum("...pi,...pij->...pj", g_w, J_obj))
                 if net is not None:
-                    sd, g_net = jax.value_and_grad(
-                        lambda qq: net.signed_distance(qq))(q)
+                    sd, vjp = jax.vjp(net.signed_distance, q)
+                    g_net = vjp(jnp.ones_like(sd))[0]
                     r_n = jax.nn.relu(net_cutoff - sd)
                     act_n = (r_n > 0).astype(q.dtype)
-                    rs.append(r_n[None])
-                    Js.append((-act_n * g_net)[None])
+                    rs.append(r_n[..., None])
+                    Js.append((-act_n[..., None] * g_net)[..., None, :])
                 elif pair_idxs is not None and len(pair_idxs) > 0:
                     self_pts = robot.self_collision_points(pts_full)
                     J_self = robot.select_collision_jacobians(
@@ -245,11 +255,12 @@ class PlanningTask:
                     act_s = (r_s > 0).astype(q.dtype)
                     dJ = (J_self[..., pair_idxs[:, 0], :, :]
                           - J_self[..., pair_idxs[:, 1], :, :])
-                    Js.append(-act_s[:, None]
-                              * jnp.einsum("ki,kij->kj", u, dJ))
+                    Js.append(-act_s[..., None]
+                              * jnp.einsum("...ki,...kij->...kj", u, dJ))
                     rs.append(r_s)
                 return jnp.concatenate(rs, axis=-1), jnp.concatenate(Js, axis=-2)
 
+            residuals_and_jacobian.supports_batch = True
             residuals.residuals_and_jacobian = residuals_and_jacobian
 
             # fully lane-vectorized GN terms (analytic scenes only)
