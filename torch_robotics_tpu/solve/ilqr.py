@@ -9,10 +9,12 @@ feasible by construction*: states x_t = [q_t, qd_t] follow the
 double-integrator x_{t+1} = Phi x_t + B u_t exactly (u = joint acceleration),
 and the optimizer runs a Riccati backward pass + rolled-out forward pass.
 
-TPU-native shape: both sweeps are `lax.scan`s over the horizon with all
-small (m, m) linear algebra batched over problems via `vmap`; the line
-search evaluates all candidate step sizes in one batched rollout and picks
-the argmin — no data-dependent control flow, jits end-to-end.
+TPU-native shape: batch-first — states carry (B, ...) everywhere (no
+outer vmap), both sweeps are `lax.scan`s over the horizon with batched
+(m, m) linear algebra, every residual/Jacobian evaluation is ONE
+lanes-path call over the flattened (B*(H-1), d) state batch, and the line
+search evaluates all step sizes in one batched rollout picking the argmin
+PER problem — no data-dependent control flow, jits end-to-end.
 
 Cost model matches GPMP2's factors so presets transfer: hinge obstacle
 residuals (sigma_coll), control effort (R approx the GP process-noise
