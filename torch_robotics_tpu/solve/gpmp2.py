@@ -96,7 +96,11 @@ def _obstacle_terms(residual_fn, q, d_state, lam):
     q_flat = q.reshape((-1, d))
     raj = getattr(residual_fn, "residuals_and_jacobian", None)
     if raj is not None:
-        r_flat, J_flat = jax.vmap(raj)(q_flat)
+        # batch-polymorphic raj rides the lanes FK chain on ONE flattened
+        # call (~5x the vmapped per-sample AoS form; see solve/ilqr.py)
+        r_flat, J_flat = (raj(q_flat)
+                          if getattr(raj, "supports_batch", False)
+                          else jax.vmap(raj)(q_flat))
     else:
         # batch-polymorphic residuals take the batched (lanes) FK path
         r_flat = (residual_fn(q_flat)
