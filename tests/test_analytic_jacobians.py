@@ -81,3 +81,26 @@ def test_gpmp2_uses_fast_path_same_result():
     res_ref = gpmp2_solve(residuals_plain, theta0, start, goal, params)
     np.testing.assert_allclose(res_fast.trajs, res_ref.trajs, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_residuals_and_jacobian_batch_polymorphic():
+    """Batched raj (lanes FK path) == vmapped per-sample raj, with and
+    without the learned self-collision net (the batched form is what the
+    batch-first solvers call on the whole flattened state batch)."""
+    import jax
+    import numpy as np
+    from torch_robotics_tpu.envs import EnvSpheres3D
+    from torch_robotics_tpu.robots import RobotPanda
+    from torch_robotics_tpu.tasks import PlanningTask
+
+    q = RobotPanda.create().random_q(jax.random.PRNGKey(0), 12)
+    for kwargs in ({}, {"use_learned_self_collision": True}):
+        task = PlanningTask(env=EnvSpheres3D(),
+                            robot=RobotPanda.create(**kwargs),
+                            obstacle_cutoff_margin=0.03)
+        raj = task.collision_residuals.residuals_and_jacobian
+        assert getattr(raj, "supports_batch", False)
+        rb, Jb = raj(q)
+        rv, Jv = jax.vmap(raj)(q)
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(rv), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(Jb), np.asarray(Jv), atol=2e-4)
