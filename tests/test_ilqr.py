@@ -132,6 +132,48 @@ def test_ilqr_extreme_weight_ratio_stays_finite_and_converges():
     assert bool((distF < 0.5 * dist0).all()), (dist0, distF)
 
 
+def test_ilqr_riccati_lanes_matches_qr(circle_tasks):
+    """The lanes two-phase Householder backward pass (riccati="lanes", the
+    TPU fast path) computes the same square-root Riccati recursion as the
+    batched jnp.linalg.qr reference form; at well-conditioned weights the
+    optimized trajectories must agree to float32 tolerance.  (At extreme
+    kg/r ratios ~1e10 the feedforward through the barely-penalized control
+    subspace is noise-dominated for BOTH forms and individual problems may
+    pick different line-search steps; quality stays equal — benchmarked in
+    benchmarks/ilqr_riccati_ab.py.)"""
+    solver_task, _ = circle_tasks
+    p_qr = ILQRParams(n_support_points=32, dt=0.08, opt_iters=25,
+                      sigma_coll=1e-2, sigma_goal_prior=1e-2,
+                      r_control=1e-3, riccati="qr")
+    p_ln = ILQRParams(**{**p_qr.__dict__, "riccati": "lanes"})
+    r_qr = ilqr_solve(solver_task.collision_residuals, START, GOAL, p_qr)
+    r_ln = ilqr_solve(solver_task.collision_residuals, START, GOAL, p_ln)
+    # float32 rounding differences between the two factorizations drift
+    # ~1e-3 over 25 closed-loop iterations
+    np.testing.assert_allclose(np.asarray(r_ln.trajs), np.asarray(r_qr.trajs),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r_ln.costs), np.asarray(r_qr.costs),
+                               rtol=1e-3)
+
+
+def test_ilqr_riccati_lanes_with_limits_and_running(circle_tasks):
+    """Mode parity with the optional cost terms active (sigma_limits hinge
+    rows and the running goal pull add F rows / l_x terms on both paths)."""
+    solver_task, _ = circle_tasks
+    lims = (jnp.full((2,), -1.2), jnp.full((2,), 1.2))
+    p_qr = ILQRParams(n_support_points=16, dt=0.08, opt_iters=10,
+                      sigma_coll=1e-2, sigma_goal_prior=1e-2,
+                      sigma_goal_running=0.1, sigma_limits=1e-2,
+                      r_control=1e-3, riccati="qr")
+    p_ln = ILQRParams(**{**p_qr.__dict__, "riccati": "lanes"})
+    r_qr = ilqr_solve(solver_task.collision_residuals, START, GOAL, p_qr,
+                      q_limits=lims)
+    r_ln = ilqr_solve(solver_task.collision_residuals, START, GOAL, p_ln,
+                      q_limits=lims)
+    np.testing.assert_allclose(np.asarray(r_ln.trajs), np.asarray(r_qr.trajs),
+                               atol=5e-4)
+
+
 def test_ilqr_tracking_follows_reference(circle_tasks, solved):
     """x_ref tracking mode: a short-horizon controller tracking a converged
     plan's waypoints stays on the plan's detour around the obstacle, where

@@ -149,6 +149,68 @@ def test_grasped_object_link(panda):
     np.testing.assert_allclose(jnp.linalg.norm(offset_world), 0.11, atol=1e-5)
 
 
+@pytest.mark.parametrize("golden_name,ctor,exclude_prefix", [
+    # the Shadow hand's little-finger chain hangs off LFJ5, whose axis is
+    # NON-axis-aligned (0.574, 0, 0.819); the reference dispatches any axis
+    # that is not exactly e_x/e_y to z_rot (rigid_body.py:100-105), rotating
+    # LFJ5 about the WRONG axis.  We rotate about the true axis (checked
+    # in closed form below), so the lf* links are excluded from reference
+    # parity.
+    ("shadow_hand_fk", robot_zoo.shadow_hand, "lf"),
+    ("allegro_hand_fk", robot_zoo.allegro_hand, None),
+    ("tiago_dual_fk", robot_zoo.tiago_dual_holo, None),
+    ("kuka_iiwa7_fk", robot_zoo.kuka_iiwa7, None),
+])
+def test_branching_tree_fk_golden(golden_name, ctor, exclude_prefix):
+    """Golden FK parity for the BRANCHING kinematic trees (Shadow/Allegro
+    hands: 5/4 finger chains off one palm; Tiago dual: two arm chains off
+    the torso) plus KUKA iiwa — the parent-indexed gather topologies the
+    chain-scan FK must get right (reference recursion:
+    /root/reference/torch_robotics/torch_kinematics_tree/models/
+    rigid_body.py:146-211)."""
+    g = load_golden(golden_name)
+    model = ctor()
+    assert list(model.link_names) == list(g["link_names"]), model.name
+    H = np.asarray(fk_all_links(model, jnp.asarray(g["q"])))
+    ref = np.asarray(g["link_tensor"])
+    keep = [i for i, n in enumerate(g["link_names"])
+            if exclude_prefix is None or not n.startswith(exclude_prefix)]
+    assert len(keep) >= len(g["link_names"]) - 6
+    np.testing.assert_allclose(H[:, keep], ref[:, keep], atol=2e-5)
+
+
+def test_shadow_lfj5_true_axis_closed_form():
+    """LFJ5 (palm -> lfmetacarpal) rotates about its URDF axis
+    (0.5735764, 0, 0.8191520) — verified against a closed-form Rodrigues
+    rotation composed onto the palm pose.  (The reference rotates this
+    joint about z instead — rigid_body.py:100-105 — so no golden exists
+    for the true behavior.)"""
+    g = load_golden("shadow_hand_fk")
+    model = robot_zoo.shadow_hand()
+    names = list(model.link_names)
+    q = jnp.asarray(g["q"])
+    H = np.asarray(fk_all_links(model, q))
+    i_palm, i_lfm = names.index("palm"), names.index("lfmetacarpal")
+    # LFJ5 dof index within q
+    j_names = list(model.joint_names)
+    dof = int(np.asarray(model.q_map)[names.index("lfmetacarpal")])
+    assert "LFJ5" in j_names[i_lfm]
+    axis = np.array([0.573576436, 0.0, 0.819152044])
+    angle = np.clip(np.asarray(q)[:, dof], 0.0, 0.69813170079773179)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    T_origin = np.eye(4)
+    T_origin[:3, 3] = [-0.033, 0.0, 0.02071]
+    for b in range(q.shape[0]):
+        R = (np.eye(3) + np.sin(angle[b]) * K
+             + (1 - np.cos(angle[b])) * (K @ K))
+        T_rot = np.eye(4)
+        T_rot[:3, :3] = R
+        expected = H[b, i_palm] @ T_origin @ T_rot
+        np.testing.assert_allclose(H[b, i_lfm], expected, atol=2e-5)
+
+
 def test_stretch_fk_golden_prismatic():
     """Habitat Stretch mixes revolute/prismatic/continuous joints —
     prismatic-joint parity with the reference FK."""

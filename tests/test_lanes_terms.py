@@ -118,6 +118,34 @@ def test_fk_positions_lanes_matches_aos():
         rtol=1e-5, atol=1e-6)
 
 
+def test_multirobot_same_member_mutual_pair_rejected():
+    """The structured MultiRobot assembly assumes every mutual pair spans
+    TWO members (its 'elif b == i' gradient branch and cross-block stitch
+    are wrong for i == j); a pair list indexing two object points of the
+    SAME member must be rejected loudly, not silently mis-assembled.
+    MultiRobot.create never emits such pairs — this guards custom lists."""
+    import dataclasses
+
+    from torch_robotics_tpu.core import z_rot
+    from torch_robotics_tpu.ops import lanes_fk
+    from torch_robotics_tpu.robots import MultiRobot
+
+    robots = [RobotPanda.create(), RobotUR10()]
+    poses = [(jnp.eye(3), jnp.array([0.2, 0.55, 0.0])),
+             (z_rot(jnp.array(jnp.pi)), jnp.array([0.2, -0.55, 0.0]))]
+    robot = MultiRobot.create(robots, poses)
+    # (0, 1): two object-section points of member 0
+    bad_pairs = tuple(robot.self_pair_idxs) + ((0, 1),)
+    robot_bad = dataclasses.replace(
+        robot, self_pair_idxs=bad_pairs,
+        self_margins=jnp.concatenate(
+            [robot.self_margins, jnp.array([0.05], jnp.float32)]))
+    with pytest.raises(ValueError, match="same"):
+        task = PlanningTask(env=EnvSpheres3D(), robot=robot_bad,
+                            obstacle_cutoff_margin=0.02)
+        lanes_fk.obstacle_terms_lanes_multirobot_factory(task)
+
+
 def test_multirobot_structured_terms_match_generic():
     """Block-structured MultiRobot terms == padded generic path, both layouts.
 

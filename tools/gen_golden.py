@@ -240,6 +240,27 @@ def main():
         "link_tensor": stretch.compute_forward_kinematics_all_links(q_s).tolist(),
     })
 
+    # Branching kinematic trees (hands, dual-arm Tiago) + KUKA iiwa —
+    # parity for the parent-indexed (non-chain) FK topologies
+    from torch_robotics.torch_kinematics_tree.models.robots import (
+        DifferentiableShadowHand, DifferentiableAllegroHand,
+        DifferentiableTiagoDualHolo, DifferentiableKUKAiiwa)
+    rng_tree = np.random.RandomState(7)    # own stream: keeps the shared
+    # rng sequence (and every golden generated after this point) unchanged
+    for cls, name, scale in [(DifferentiableShadowHand, "shadow_hand_fk", 0.3),
+                             (DifferentiableAllegroHand, "allegro_hand_fk", 0.3),
+                             (DifferentiableTiagoDualHolo, "tiago_dual_fk", 0.8),
+                             (DifferentiableKUKAiiwa, "kuka_iiwa7_fk", 1.5)]:
+        rb = cls(device="cpu")
+        q_r = torch.tensor(rng_tree.uniform(
+            -scale, scale, size=(6, rb._n_dofs)).astype(np.float32))
+        dump(name, {
+            "q": q_r.tolist(),
+            "link_names": rb.get_link_names(),
+            "link_tensor":
+                rb.compute_forward_kinematics_all_links(q_r).tolist(),
+        })
+
     # ------------------------------------------------------------------
     # 5. Panda task costs in EnvSpheres3D (full embodied pipeline)
     # ------------------------------------------------------------------

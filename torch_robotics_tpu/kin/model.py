@@ -19,6 +19,11 @@ Semantics parity with the reference FK:
   (robot_tree.py:101-119)
 - a revolute joint with a missing/zero axis rotates about z, matching the
   reference's axis dispatch fallback                (rigid_body.py:162-168)
+- DELIBERATE deviation: a NON-axis-aligned joint axis (e.g. the Shadow
+  hand's LFJ5, axis (0.574, 0, 0.819)) rotates about the true axis via
+  Rodrigues; the reference snaps any axis that is not exactly e_x/e_y to
+  z_rot (rigid_body.py:100-105), which is wrong physics — closed-form
+  check in tests/test_kin_fk.py::test_shadow_lfj5_true_axis_closed_form
 """
 from __future__ import annotations
 

@@ -858,6 +858,15 @@ def obstacle_terms_lanes_multirobot_factory(task):
         else:
             i = int(np.searchsorted(obj_offsets, pa, side="right")) - 1
             j = int(np.searchsorted(obj_offsets, pb, side="right")) - 1
+            if i == j:
+                # the assembly below assumes each mutual group spans TWO
+                # members (the 'elif b == i' gradient branch and the
+                # cross-block stitch are wrong for i == j); same-member
+                # pairs belong in the member's self section
+                raise ValueError(
+                    "mutual pair (%d, %d) indexes object points of the same "
+                    "member %d; encode same-member pairs via the member's "
+                    "self-collision section instead" % (pa, pb, i))
             mutual_groups.setdefault((i, j), []).append(
                 (pa - obj_offsets[i], pb - obj_offsets[j], mg))
 

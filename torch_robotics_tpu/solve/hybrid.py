@@ -137,7 +137,7 @@ def plan_mpot_gpmp2(task, theta0, start_state, goal_state,
             # is); take the fallback where only it is free
             take_fb = free_fb & ~free
             result = GPMP2Result(
-                trajs=jnp.where(take_fb[:, None, None], res_fb.trajs,
+                trajs=jnp.where(take_fb[..., None, None], res_fb.trajs,
                                 result.trajs),
                 costs=jnp.where(take_fb, res_fb.costs, result.costs),
                 cost_trace=result.cost_trace)

@@ -58,6 +58,11 @@ class ILQRParams:
     r_control: float = 1e-4          # control-effort weight (R = r I)
     mu: float = 1e-6                 # Levenberg regularization on Q_uu
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)   # line-search step sizes
+    # backward-pass implementation: "lanes" (batch in the minor/lane axis,
+    # unrolled two-phase Householder QR — the TPU fast path, same math) or
+    # "qr" (batched jnp.linalg.qr inside the scan — the portable reference
+    # form, kept for A/B and non-TPU backends).  Static: selects at trace.
+    riccati: str = "lanes"
 
 
 class ILQRResult(NamedTuple):
@@ -145,29 +150,15 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
 
     eye_u = jnp.eye(d, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
+    dt_ = params.dt
 
-    def backward(xs, U_t):
-        """Square-root Riccati sweep (batched); U_t (H-1, B, d) time-major.
-        Returns time-major feedforward ks (H-1, B, d) and feedback
-        Ks (H-1, B, d, m).
-
-        The value Hessian is propagated as a factor S with Vxx = S^T S
-        (initialized to sqrt(kg) I).  Each step QR-factors the stacked
-        array A = [[sqrt(r+mu) I, 0], [S B, S Phi], [0, F_t]] whose Gram is
-        the full [[Quu, Qux], [Qux^T, Qxx]] block: R11^T R11 = Quu,
-        R11^{-1} R12 = Quu^{-1} Qux, and R22^T R22 is EXACTLY the Schur
-        complement Qxx - Qux^T Quu^{-1} Qux = Vxx_next — computed without
-        the catastrophic float32 cancellation of the dense recursion, and
-        PSD by construction (the plain Cholesky sweep NaNs on TPU/float32
-        at kg/r ratios ~1e10; dynamic range here is sqrt(kg)/sqrt(r)).
-        """
+    def running_terms(xs):
+        """Gauss-Newton gradient + FACTORED Hessian of the running state
+        costs at ALL (B, H-1) states in one batched evaluation; the GN
+        structure lam J^T J factors exactly as (sqrt(lam) J)^T(sqrt(lam) J)
+        so the square-root sweeps never form the ill-conditioned product.
+        Returns l_x_T (B, m), l_xs (B, H-1, m), F (B, H-1, P_tot, m)."""
         l_x_T = kg * (xs[:, -1] - refs[:, -1])                 # (B, m)
-        S_T = jnp.broadcast_to(jnp.sqrt(kg) * eye_m, (B, m, m))
-
-        # Gauss-Newton gradient + FACTORED Hessian of the running state
-        # costs at ALL (B, H-1) states in one batched evaluation; the GN
-        # structure lam J^T J factors exactly as (sqrt(lam) J)^T(sqrt(lam) J)
-        # so the square-root sweep never forms the ill-conditioned product
         q = xs[:, :-1, :d]                                     # (B, H-1, d)
         res, J = batch_raj(q.reshape(-1, d))
         P = res.shape[-1]
@@ -195,7 +186,25 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
             F = jnp.concatenate(
                 [F, sqrt_kl * act[..., None] * jnp.eye(d, m, dtype=dtype)],
                 axis=-2)
+        return l_x_T, l_xs, F
 
+    def backward(xs, U_t):
+        """Square-root Riccati sweep (batched); U_t (H-1, B, d) time-major.
+        Returns time-major feedforward ks (H-1, B, d) and feedback
+        Ks (H-1, B, d, m).
+
+        The value Hessian is propagated as a factor S with Vxx = S^T S
+        (initialized to sqrt(kg) I).  Each step QR-factors the stacked
+        array A = [[sqrt(r+mu) I, 0], [S B, S Phi], [0, F_t]] whose Gram is
+        the full [[Quu, Qux], [Qux^T, Qxx]] block: R11^T R11 = Quu,
+        R11^{-1} R12 = Quu^{-1} Qux, and R22^T R22 is EXACTLY the Schur
+        complement Qxx - Qux^T Quu^{-1} Qux = Vxx_next — computed without
+        the catastrophic float32 cancellation of the dense recursion, and
+        PSD by construction (the plain Cholesky sweep NaNs on TPU/float32
+        at kg/r ratios ~1e10; dynamic range here is sqrt(kg)/sqrt(r)).
+        """
+        l_x_T, l_xs, F = running_terms(xs)
+        S_T = jnp.broadcast_to(jnp.sqrt(kg) * eye_m, (B, m, m))
         P_tot = F.shape[-2]
         top = jnp.broadcast_to(
             jnp.concatenate([sqrt_ru * eye_u,
@@ -235,6 +244,154 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
             reverse=True)
         return ks, Ks
 
+    sqrt_kg = kg ** 0.5
+
+    def backward_lanes(xs, U_t_l):
+        """Same square-root Riccati math as ``backward``, in the lanes
+        layout (batch in the minor axis) with the in-scan QR unrolled into
+        a two-phase Householder factorization — the TPU fast path.  The
+        batched ``jnp.linalg.qr`` of the (B, d+m+P, d+m) stack was ~70% of
+        the solve (0.105 of 0.15 s at B=512, H=32, 30 iters); here each
+        reflection is a handful of (rows, cols, B) elementwise
+        multiply-reduce ops (CLAUDE.md lesson 2: no dot_general with the
+        lane axis as batch dim; columns shrink via static slices, rows are
+        emitted via concatenation — no scatter, lesson 1).
+
+        Structure exploited in the stacked array
+        A = [[sqrt(r+mu) I, 0], [S B, S Phi], [0, F_t]]:
+        - the P F-rows are ZERO in the u-columns, so phase 1's reflections
+          touch only the top d+m rows;
+        - top-block row j is touched only by reflection j (v_j support is
+          {row j} + the m S-rows), so its pivot is the CONSTANT sqrt(r+mu)
+          and R11[j, c>j] / R12[j, :] are zero until reflection j fires;
+        - S @ B and S @ Phi are elementwise in the double-integrator
+          structure (Phi = [[I, dt I], [0, I]], B = [[dt^2/2 I], [dt I]]).
+        Takes U_t_l (H-1, d, B) time-major lanes; returns ks (H-1, d, B),
+        Ks (H-1, d, m, B)."""
+        l_x_T, l_xs, F = running_terms(xs)
+        l_l = jnp.transpose(l_xs, (1, 2, 0))                   # (H-1, m, B)
+        F_l = jnp.transpose(F, (1, 2, 3, 0))               # (H-1, P, m, B)
+        Vx0 = l_x_T.T                                          # (m, B)
+        S0 = sqrt_kg * eye_m[:, :, None] + jnp.zeros_like(Vx0)[None]
+
+        def step(carry, inp):
+            Vx, S = carry                              # (m, B), (m, m, B)
+            u, l_x, F_t = inp                      # (d,B), (m,B), (P,m,B)
+            S1, S2 = S[:, :d], S[:, d:]
+            G = 0.5 * dt_ * dt_ * S1 + dt_ * S2        # S @ B   (m, d, B)
+            M = jnp.concatenate([S1, dt_ * S1 + S2], axis=1)   # S @ Phi
+
+            # phase 1: d reflections over the u-block columns
+            r11_rows, r12_rows = [], []
+            for j in range(d):
+                g = G[:, 0]                                    # (m, B)
+                gg = jnp.sum(g * g, axis=0)                    # (B,)
+                alpha = -jnp.sqrt(sqrt_ru * sqrt_ru + gg)
+                v0 = sqrt_ru - alpha                           # > 0 always
+                beta = 2.0 / (v0 * v0 + gg)
+                W_x = jnp.sum(g[:, None] * M, axis=0)          # (m, B)
+                r12_rows.append(-(beta * v0) * W_x)
+                M = M - (beta * W_x)[None] * g[:, None]
+                if j < d - 1:
+                    W_u = jnp.sum(g[:, None] * G[:, 1:], axis=0)
+                    r11_rows.append(jnp.concatenate(
+                        [jnp.zeros((j,) + alpha.shape, dtype), alpha[None],
+                         -(beta * v0) * W_u], axis=0))
+                    G = G[:, 1:] - (beta * W_u)[None] * g[:, None]
+                else:
+                    r11_rows.append(jnp.concatenate(
+                        [jnp.zeros((j,) + alpha.shape, dtype), alpha[None]],
+                        axis=0))
+
+            # phase 2: m reflections triangularize [M; F_t] -> S_next
+            s_rows = []
+            Fm = F_t
+            for j in range(m):
+                vm, vf = M[:, 0], Fm[:, 0]         # (m-j, B), (P, B)
+                head = vm[0]
+                rest2 = (jnp.sum(vm[1:] * vm[1:], axis=0)
+                         + jnp.sum(vf * vf, axis=0))
+                norm = jnp.sqrt(head * head + rest2)
+                alpha = -jnp.where(head >= 0, 1.0, -1.0).astype(dtype) * norm
+                v0 = head - alpha
+                vtv = v0 * v0 + rest2
+                beta = jnp.where(vtv > 0,
+                                 2.0 / jnp.where(vtv > 0, vtv, 1.0), 0.0)
+                if j < m - 1:
+                    v_m = jnp.concatenate([v0[None], vm[1:]], axis=0)
+                    W = (jnp.sum(v_m[:, None] * M[:, 1:], axis=0)
+                         + jnp.sum(vf[:, None] * Fm[:, 1:], axis=0))
+                    Mr = M[:, 1:] - (beta * W)[None] * v_m[:, None]
+                    Fm = Fm[:, 1:] - (beta * W)[None] * vf[:, None]
+                    s_rows.append(jnp.concatenate(
+                        [jnp.zeros((j,) + alpha.shape, dtype), alpha[None],
+                         Mr[0]], axis=0))
+                    M = Mr[1:]
+                else:
+                    s_rows.append(jnp.concatenate(
+                        [jnp.zeros((j,) + alpha.shape, dtype), alpha[None]],
+                        axis=0))
+            S_new = jnp.stack(s_rows)                          # (m, m, B)
+
+            # Qx = l_x + Phi^T Vx, Qu = r u + B^T Vx (elementwise structure)
+            Vq, Vv = Vx[:d], Vx[d:]
+            Qx = jnp.concatenate(
+                [l_x[:d] + Vq, l_x[d:] + dt_ * Vq + Vv], axis=0)
+            Qu = r * u + 0.5 * dt_ * dt_ * Vq + dt_ * Vv       # (d, B)
+
+            R11 = r11_rows                         # list of (d, B) rows
+            R12 = jnp.stack(r12_rows)                          # (d, m, B)
+            # w = R11^{-T} Qu (forward subst), k = -R11^{-1} w (back subst)
+            w_rows = []
+            for i in range(d):
+                acc = Qu[i]
+                for l2 in range(i):
+                    acc = acc - R11[l2][i] * w_rows[l2]
+                w_rows.append(acc / R11[i][i])
+            k_rows = [None] * d
+            for i in range(d - 1, -1, -1):
+                acc = -w_rows[i]
+                for l2 in range(i + 1, d):
+                    acc = acc - R11[i][l2] * k_rows[l2]
+                k_rows[i] = acc / R11[i][i]
+            k = jnp.stack(k_rows)                              # (d, B)
+            # K = -R11^{-1} R12 (back substitution, m RHS columns at once)
+            K_rows = [None] * d
+            for i in range(d - 1, -1, -1):
+                acc = -R12[i]
+                for l2 in range(i + 1, d):
+                    acc = acc - R11[i][l2][None] * K_rows[l2]
+                K_rows[i] = acc / R11[i][i][None]
+            K = jnp.stack(K_rows)                              # (d, m, B)
+            # Vx_next = Qx + Qux^T k = Qx + R12^T (R11 k)
+            Vx_new = Qx
+            for i in range(d):
+                y_i = R11[i][i] * k_rows[i]
+                for l2 in range(i + 1, d):
+                    y_i = y_i + R11[i][l2] * k_rows[l2]
+                Vx_new = Vx_new + R12[i] * y_i[None]
+            return (Vx_new, S_new), (k, K)
+
+        _, (ks, Ks) = jax.lax.scan(
+            step, (Vx0, S0), (U_t_l, l_l, F_l), reverse=True)
+        return ks, Ks                        # (H-1, d, B), (H-1, d, m, B)
+
+    def forward_lanes(xs_l, U_t_l, ks, Ks, alpha):
+        """Closed-loop rollout at step size alpha, lanes layout
+        (time-major xs_l (H, m, B)); dynamics applied elementwise via the
+        double-integrator structure."""
+        def step(x, inp):
+            x_ref, u_ref, k, K = inp
+            dx = x - x_ref                                     # (m, B)
+            u = u_ref + alpha * k + jnp.sum(K * dx[None], axis=1)
+            x_next = jnp.concatenate(
+                [x[:d] + dt_ * x[d:] + 0.5 * dt_ * dt_ * u,
+                 x[d:] + dt_ * u], axis=0)
+            return x_next, (x_next, u)
+        _, (xs_new, U_new) = jax.lax.scan(
+            step, xs_l[0], (xs_l[:-1], U_t_l, ks, Ks))
+        return jnp.concatenate([xs_l[:1], xs_new], axis=0), U_new
+
     def forward(xs, U_t, ks, Ks, alpha):
         """Closed-loop rollout at step size alpha; time-major inputs."""
         xs_ref_t = jnp.moveaxis(xs[:, :-1], 1, 0)              # (H-1, B, m)
@@ -254,10 +411,20 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
     def iteration(carry, _):
         xs, U, cost = carry                                    # U (B, H-1, d)
         U_t = jnp.moveaxis(U, 1, 0)
-        ks, Ks = backward(xs, U_t)
         # line search: all alphas in one batched rollout, argmin PER problem
         alphas = jnp.asarray(params.alphas, dtype)
-        xs_c, U_c = jax.vmap(lambda a: forward(xs, U_t, ks, Ks, a))(alphas)
+        if params.riccati == "lanes":
+            U_t_l = jnp.transpose(U_t, (0, 2, 1))              # (H-1, d, B)
+            ks_l, Ks_l = backward_lanes(xs, U_t_l)
+            xs_l = jnp.transpose(xs, (1, 2, 0))                # (H, m, B)
+            xs_c_l, U_c_l = jax.vmap(
+                lambda a: forward_lanes(xs_l, U_t_l, ks_l, Ks_l, a))(alphas)
+            xs_c = jnp.transpose(xs_c_l, (0, 3, 1, 2))         # (A, B, H, m)
+            U_c = jnp.transpose(U_c_l, (0, 3, 1, 2))
+        else:
+            ks, Ks = backward(xs, U_t)
+            xs_c, U_c = jax.vmap(
+                lambda a: forward(xs, U_t, ks, Ks, a))(alphas)
         costs_c = total_cost(xs_c, U_c)                        # (A, B)
         best = jnp.argmin(costs_c, axis=0)                     # (B,)
         pick = jax.nn.one_hot(best, alphas.shape[0], axis=0,

@@ -32,6 +32,15 @@ class SGPMPParams:
     sigma_gp: float = 1e-2
     sigma_goal_prior: float = 1e-5
     sigma_coll: float = 1e-5
+    #: Scale-FREE softmax temperature.  Sample weights are computed on
+    #: spread-normalized costs — ``softmax(-(c - min c) / (temperature *
+    #: std(c)))`` over the K samples — so ``temperature`` is measured in
+    #: units of the per-iteration cost standard deviation, NOT in absolute
+    #: cost units (absolute costs here span 1e5-1e9 with the collision
+    #: weight, which would saturate a fixed-temperature softmax to
+    #: winner-take-all).  Values tuned for an absolute-cost softmax
+    #: (e.g. the reference presets' ``temperature``) do not transfer;
+    #: 1.0 means "weight decays over one cost-std".
     temperature: float = 1.0
     sigma_gp_sample: float = 0.2
     # per-iteration multiplier on the perturbation scale (annealing:
