@@ -68,13 +68,13 @@ def main():
 
     import numpy as np
 
-    # the per-chip throughput knee is at B~128 (tools/scaling_bench.py
-    # --mode knee: H=64 peaks at 162.5k solves/s @ B=128 and decays to
-    # 118k @ B=1024 — the solver's per-scan-step L/y stacks leave
-    # VMEM-adjacent sizes); the B=1024 protocol batch is therefore
-    # processed as sequential knee-sized chunks inside the jit, like the
-    # pod path (parallel/mesh.py _POD_CHUNK): measured 167.6k vs 114.2k
-    CHUNK = 128
+    # the B=1024 protocol batch is processed as sequential knee-sized
+    # chunks inside the jit, like the pod path (parallel/mesh.py
+    # _POD_CHUNK).  The knee moved when the fused Pallas terms kernel
+    # removed the terms stage's HBM traffic (ops/pallas_terms.py): chunk
+    # sweep at H=64 after the kernel measured 241k @ 128 / 282k @ 256 /
+    # 272k @ 512 / 280k @ 1024 solves/s (was 167.6k @ 128 peak before)
+    CHUNK = 256
 
     def run_steps_fn(n_steps):
         @jax.jit

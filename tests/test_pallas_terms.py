@@ -1,0 +1,111 @@
+"""Fused Pallas GN obstacle-terms kernel (ops/pallas_terms.py).
+
+The kernel runs the whole terms pipeline (FK -> point Jacobians -> scene
+SDF+grad -> hinge -> dense J^T r / J^T J assembly) per lane tile; these
+tests pin (a) interpret-mode parity with the XLA lanes factory, (b) the
+factory's gating, (c) the off-TPU dispatch back to the XLA graph."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_robotics_tpu.envs import EnvDense2D, EnvSpheres3D
+from torch_robotics_tpu.ops.lanes_fk import obstacle_terms_lanes_factory
+from torch_robotics_tpu.ops.pallas_terms import obstacle_terms_pallas_factory
+from torch_robotics_tpu.robots import RobotPanda, RobotPointMass, RobotUR10
+from torch_robotics_tpu.tasks import PlanningTask
+
+
+def _rand_q(robot, n, seed=3):
+    return jax.random.uniform(
+        jax.random.PRNGKey(seed), (robot.q_dim, n),
+        minval=robot.q_min[:, None], maxval=robot.q_max[:, None])
+
+
+# NOTE: the grasped-object Panda variant is validated on real hardware by
+# benchmarks/pallas_terms_ab.py — its interpret-mode run costs ~650 s of
+# CPU compile (the ~2.4x-bigger kernel body), too slow for this suite.
+@pytest.mark.parametrize("make_robot,h_variants", [
+    (lambda: RobotPanda.create(), (None, 8)),
+    (lambda: RobotUR10(), (None,)),
+])
+def test_pallas_terms_interpret_matches_xla(make_robot, h_variants):
+    robot = make_robot()
+    task = PlanningTask(env=EnvSpheres3D(), robot=robot,
+                        obstacle_cutoff_margin=0.03)
+    t_xla = obstacle_terms_lanes_factory(task)
+    t_pal = obstacle_terms_pallas_factory(task)
+    assert t_pal is not None
+    q = _rand_q(robot, 32)
+    for h in h_variants:
+        a = t_xla(q, 77.0, h=h)
+        b = t_pal(q, 77.0, h=h, interpret=True)
+        for x, y in zip(a, b):
+            scale = float(jnp.abs(x).max()) + 1e-30
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=3e-5 * scale, rtol=2e-5)
+
+
+def test_pallas_terms_2d_scene_interpret():
+    robot = RobotPointMass.create()
+    task = PlanningTask(env=EnvDense2D(), robot=robot,
+                        obstacle_cutoff_margin=0.01)
+    # PointMass stays on the XLA path (identity FK — nothing to fuse)
+    assert obstacle_terms_pallas_factory(task) is None
+
+
+def test_pallas_terms_gating():
+    # learned self-collision net -> no fused path
+    robot_net = RobotPanda.create(use_learned_self_collision=True)
+    task_net = PlanningTask(env=EnvSpheres3D(), robot=robot_net,
+                            obstacle_cutoff_margin=0.03)
+    assert obstacle_terms_pallas_factory(task_net) is None
+    # grid-SDF scene -> no fused path (gathers)
+    env_grid = EnvSpheres3D(precompute_sdf_obj_fixed=True,
+                            sdf_cell_size=0.05)
+    task_grid = PlanningTask(env=env_grid, robot=RobotPanda.create(),
+                             obstacle_cutoff_margin=0.03)
+    assert obstacle_terms_pallas_factory(task_grid) is None
+
+
+def test_pallas_terms_cpu_dispatch_equals_xla():
+    """Off-TPU (interpret=False) the returned terms fn must route to the
+    XLA lanes graph and agree with it exactly."""
+    task = PlanningTask(env=EnvSpheres3D(), robot=RobotPanda.create(),
+                        obstacle_cutoff_margin=0.03)
+    t_xla = obstacle_terms_lanes_factory(task)
+    t_pal = obstacle_terms_pallas_factory(task)
+    q = _rand_q(task.robot, 32, seed=5)
+    a = t_xla(q, 10.0)
+    b = t_pal(q, 10.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gn_assembly_kernel_interpret_matches_reference():
+    """ops/pallas_gn_assembly.py is a kept NEGATIVE result (XLA single-
+    passes materialized assembly reduces already; see its docstring) but
+    stays correct: interpret-mode parity incl. the N-padding path."""
+    from torch_robotics_tpu.ops.pallas_gn_assembly import (
+        gn_assembly_pallas, gn_assembly_reference)
+    P, d, N = 12, 5, 300
+    r = jax.random.normal(jax.random.PRNGKey(0), (P, N))
+    Jr = jax.random.normal(jax.random.PRNGKey(1), (P, d, N))
+    a = gn_assembly_reference(r, Jr)
+    b = gn_assembly_pallas(r, Jr, tile_n=128, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_task_wires_fused_terms():
+    """PlanningTask prefers the fused factory on supported tasks; the hook
+    keeps the XLA-identical CPU behavior (this suite runs on CPU)."""
+    task = PlanningTask(env=EnvSpheres3D(), robot=RobotPanda.create(),
+                        obstacle_cutoff_margin=0.03)
+    terms = getattr(task.collision_residuals, "obstacle_terms_lanes", None)
+    assert terms is not None
+    q = _rand_q(task.robot, 16, seed=7)
+    g, Hb, cost = terms(q, 5.0)
+    assert g.shape == (2 * task.robot.q_dim, 16)
+    assert bool(jnp.isfinite(Hb).all())

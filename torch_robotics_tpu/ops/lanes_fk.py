@@ -239,14 +239,14 @@ def _group_sdf_lanes(group, x):
     if isinstance(group, Spheres):
         d2 = None
         for k in range(dim):
-            t = jnp.square(x[k][None, :] - group.centers[:, k, None])
+            t = jnp.square(x[k][None, :] - group.centers[:, k:k + 1])
             d2 = t if d2 is None else d2 + t
         nz = d2 > 0
         dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
         return jnp.min(dist - group.radii[:, None], axis=0)
     if isinstance(group, RoundedBoxes):
-        q = [jnp.abs(x[k][None, :] - group.centers[:, k, None])
-             - group.half_sizes[:, k, None] + group.round_radii[:, None]
+        q = [jnp.abs(x[k][None, :] - group.centers[:, k:k + 1])
+             - group.half_sizes[:, k:k + 1] + group.round_radii[:, None]
              for k in range(dim)]
         max_q = q[0]
         for qk in q[1:]:
@@ -262,8 +262,8 @@ def _group_sdf_lanes(group, x):
     if isinstance(group, SharpBoxes):
         s = None
         for k in range(dim):
-            t = (jnp.abs(x[k][None, :] - group.centers[:, k, None])
-                 - group.half_sizes[:, k, None])
+            t = (jnp.abs(x[k][None, :] - group.centers[:, k:k + 1])
+                 - group.half_sizes[:, k:k + 1])
             s = t if s is None else jnp.maximum(s, t)
         return jnp.min(s, axis=0)
     raise NotImplementedError(type(group))
@@ -735,6 +735,18 @@ def obstacle_terms_lanes_factory(task):
         # to a lane-batched dot_general whose B-major output forces a
         # transpose; see solver history in CLAUDE.md).  starts[j] skips the
         # rows whose chain never reaches column j ---
+        if _ASSEMBLY_BARRIER:
+            # materialize the residual rows ONCE before the d(d+3)/2 + 1
+            # reduces: without the barrier XLA fuses the per-point
+            # hinge/Jacobian chains into every consuming reduce and
+            # re-computes them up to ~36x (measured: the reduces from
+            # materialized rows run at one-HBM-pass speed, 0.055 ms at
+            # N=65k, while the fused-in-context assembly stage measured
+            # ~2.6 ms)
+            flat = jax.lax.optimization_barrier(
+                tuple(r_parts) + tuple(Jr_parts))
+            r_parts = list(flat[:len(r_parts)])
+            Jr_parts = list(flat[len(r_parts):])
         if h is not None:
             Bl = N // h
             parts = [(r.reshape(-1, h, Bl),
@@ -804,6 +816,10 @@ def obstacle_terms_lanes_factory(task):
 # structured MultiRobot terms (below) vs the padded generic path above;
 # flipped by the A/B benchmark only
 _MULTIROBOT_STRUCTURED = True
+
+# materialize residual rows once before the GN reduces (see the barrier
+# comment in obstacle_terms_lanes_factory.terms); flipped for A/B only
+_ASSEMBLY_BARRIER = True
 
 
 def obstacle_terms_lanes_multirobot_factory(task):

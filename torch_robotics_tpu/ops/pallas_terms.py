@@ -1,0 +1,419 @@
+"""Fully-fused Gauss-Newton obstacle-terms Pallas kernel.
+
+One kernel program computes, for a lane tile of waypoints, the ENTIRE terms
+pipeline that ``ops/lanes_fk.obstacle_terms_lanes_factory`` runs as an XLA
+graph: FK -> collision points -> analytic point Jacobians -> scene SDF +
+gradient -> hinge residuals -> dense J^T r / J^T J assembly — all on
+VMEM-resident (TN,) vectors, writing only g (d, N), H_qq (d, d, N), cost (N).
+
+Why: the XLA graph materializes the stacked (P, d, 3, N) Jacobians and the
+(P_res, d, N) weighted rows in HBM between stages, and every array whose
+second-minor dim is 3 or 7 pays a 2.7x / 1.14x (8, 128)-tile padding on that
+traffic (CLAUDE.md lesson 2).  Measured at the bench shapes (Panda /
+EnvSpheres3D, B=1024, H=64): full terms 3.0 ms/iter of which the
+hinge+contract+assembly tail is ~2.3 ms while its compute is ~60x less —
+memory-bound on padded intermediates.  In-kernel everything stays in the
+scalar-chains form (tuples of (TN,) vectors — zero padding, zero HBM
+round-trips); HBM traffic drops to q in + (g, H, cost) out.
+
+The kernel REUSES the exact trace-time chain builders (``fk_lanes``,
+``point_jacobians_lanes``, ``_group_sdf_lanes``) — the only difference is
+that model/scene constants are presented as numpy scalars (Pallas kernels
+cannot capture jnp array constants, lesson 11) via ``StaticModel`` /
+scalarized scene groups, so results are bit-identical to the XLA path.
+
+Reference role parity: this replaces the reference's per-field cost stacking
+(torch_planning_objectives/fields/distance_fields.py:107-130 +
+tasks/tasks.py:139-232); residual semantics are identical to
+``PlanningTask.collision_residuals``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lanes_fk import (_group_sdf_lanes, _matvec3, fk_lanes,
+                       obstacle_terms_lanes_factory, point_jacobians_lanes)
+
+__all__ = ["StaticModel", "obstacle_terms_pallas_factory"]
+
+_TILE_N = 1024
+
+
+class StaticModel:
+    """numpy-scalarized KinematicModel view: safe to close over in a Pallas
+    kernel body (array reads yield numpy scalars, which lower to MLIR
+    constants instead of captured jnp values)."""
+
+    def __init__(self, m):
+        self.joint_trans = np.asarray(m.joint_trans)
+        self.joint_axis = np.asarray(m.joint_axis)
+        self.clamp_lower = np.asarray(m.clamp_lower)
+        self.clamp_upper = np.asarray(m.clamp_upper)
+        self.joint_fixed_rot = np.asarray(m.joint_fixed_rot)
+        self.joint_types = m.joint_types
+        self.parent_idx = m.parent_idx
+        self.n_links = m.n_links
+        self.n_dofs = m.n_dofs
+        self.link_names = m.link_names
+        self._m = m
+
+    def topological_order(self):
+        return self._m.topological_order()
+
+    def controlled_link_idxs(self):
+        return self._m.controlled_link_idxs()
+
+    def ancestry_matrix(self):
+        return self._m.ancestry_matrix()
+
+    def link_index(self, name):
+        return self._m.link_index(name)
+
+
+def _scalarize_scene(df_obj_list):
+    """ObjectFields -> (spec, flat_arrays) where spec is
+    [(Rm 3x3 nested float tuple, pos float tuple, dim,
+    [(kind, n_arrays)])] and flat_arrays the groups' primitive tables in
+    order (passed as kernel INPUTS — Pallas cannot capture non-scalar
+    constants), or None if the scene has non-analytic fields (grid SDFs
+    need gathers, which Mosaic does not vectorize)."""
+    from ..core.quaternion import q_to_rotation_matrix
+    from ..geom.sdf import ObjectField, RoundedBoxes, SharpBoxes, Spheres
+
+    spec, flat = [], []
+    for obj in df_obj_list:
+        if not isinstance(obj, ObjectField):
+            return None
+        Rm = np.asarray(q_to_rotation_matrix(obj.ori), np.float64)
+        pos = np.asarray(obj.pos, np.float64)
+        groups = []
+        for f in obj.fields:
+            if isinstance(f, Spheres):
+                groups.append(("spheres", 2))
+                flat += [np.asarray(f.centers, np.float32),
+                         np.asarray(f.radii, np.float32)]
+            elif isinstance(f, RoundedBoxes):
+                groups.append(("rounded_boxes", 3))
+                flat += [np.asarray(f.centers, np.float32),
+                         np.asarray(f.half_sizes, np.float32),
+                         np.asarray(f.round_radii, np.float32)]
+            elif isinstance(f, SharpBoxes):
+                groups.append(("sharp_boxes", 2))
+                flat += [np.asarray(f.centers, np.float32),
+                         np.asarray(f.half_sizes, np.float32)]
+            else:
+                return None
+        spec.append((tuple(tuple(float(Rm[i, j]) for j in range(3))
+                           for i in range(3)),
+                     tuple(float(p) for p in pos), obj.dim, groups))
+    return spec, flat
+
+
+def _rebuild_scene(spec, vals):
+    """(spec, in-kernel array values) -> [(Rm, pos, dim, [group objects])]
+    with the group tables as VMEM-resident jnp arrays."""
+    from ..geom.sdf import RoundedBoxes, SharpBoxes, Spheres
+    out, k = [], 0
+    for Rm, pos, dim, groups in spec:
+        gs = []
+        for kind, n in groups:
+            a = vals[k:k + n]
+            k += n
+            if kind == "spheres":
+                gs.append(Spheres(centers=a[0], radii=a[1]))
+            elif kind == "rounded_boxes":
+                gs.append(RoundedBoxes(centers=a[0], half_sizes=a[1],
+                                       round_radii=a[2]))
+            else:
+                gs.append(SharpBoxes(centers=a[0], half_sizes=a[1]))
+        out.append((Rm, pos, dim, gs))
+    return out
+
+
+def _static_scene_sdf(scene, pts3):
+    """min-over-objects SDF of one lane-vector point (x, y, z)."""
+    out = None
+    for Rm, pos, dim, groups in scene:
+        x3 = list(pts3) + [jnp.zeros_like(pts3[0])] * (3 - len(pts3))
+        dxyz = [x3[k] - pos[k] for k in range(3)]
+        x_obj = tuple(sum(Rm[k][i] * dxyz[k] for k in range(3))
+                      for i in range(3))[:dim]
+        s = None
+        for g in groups:
+            sg = _group_sdf_lanes(g, x_obj)
+            s = sg if s is None else jnp.minimum(s, sg)
+        out = s if out is None else jnp.minimum(out, s)
+    return out
+
+
+def obstacle_terms_pallas_factory(task):
+    """Fused-kernel GN obstacle terms for a single-kinematic-model robot in
+    an analytic primitive scene.  Same contract as
+    ``obstacle_terms_lanes_factory`` (q_cols (d, N), lam, h=None ->
+    g, Hb, cost); returns None when the task has no fused path.  The
+    returned function dispatches per call: Pallas kernel on TPU, the XLA
+    lanes graph elsewhere (CPU tests, interpret-free environments).
+    """
+    robot = task.robot
+    from ..robots import RobotPointMass
+    from ..robots.multi_robot import MultiRobot
+    if isinstance(robot, (RobotPointMass, MultiRobot)):
+        return None
+    if not hasattr(robot, "model") or robot.object_interpolate:
+        return None
+    if getattr(robot, "self_collision_net", None) is not None:
+        return None         # MLP vjp in-kernel: not worth the layout change
+    scal = _scalarize_scene(task.df_obj_list)
+    if scal is None:
+        return None
+    scene_spec, scene_arrays = scal
+    xla_terms = obstacle_terms_lanes_factory(task)
+    if xla_terms is None:
+        return None
+
+    sm = StaticModel(robot.model)
+    d = robot.q_dim
+    m = 2 * d
+    obj_idxs = list(robot.object_coll_idxs)
+    self_idxs = list(robot.self_coll_idxs or [])
+    used_links = sorted(set(obj_idxs + self_idxs))
+    link_to_pos = {li: i for i, li in enumerate(used_links)}
+    cutoff = float(task.obstacle_cutoff_margin)
+    ws_min = np.asarray(task.ws_min, np.float64)
+    ws_max = np.asarray(task.ws_max, np.float64)
+    ws_dim = ws_min.shape[0]
+    obj_margins = np.asarray(robot.object_margins, np.float64)
+    self_margins = (np.asarray(robot.self_margins, np.float64)
+                    if getattr(robot, "self_margins", None) is not None
+                    else None)
+    pair_idxs = (np.asarray(robot.self_pair_idxs)
+                 if robot.self_pair_idxs is not None else None)
+    grasped_n = int(getattr(robot, "grasped_n_points", 0))
+    grasped_pts = (np.asarray(robot.grasped_points)
+                   if grasped_n > 0 else None)
+    n_used = len(used_links)
+    obj_pos_list = [link_to_pos[li] for li in obj_idxs] + list(
+        range(n_used, n_used + grasped_n))
+    self_pos_list = ([link_to_pos[li] for li in self_idxs] + list(
+        range(n_used, n_used + grasped_n))) if self_idxs else None
+
+    def _tile_body(q, scene):
+        """(d, TN) q tile -> (g_q (d, TN), Hqq (d, d, TN), cost (TN,)),
+        UNSCALED by lam (g_q = sum r Jr, Hqq = Jr^T Jr, cost = 0.5 sum r^2).
+        Pure scalar-chain form: every intermediate is a (TN,) vector."""
+        dtype = q.dtype
+        R_w, t_w = fk_lanes(sm, q)
+        pts = [t_w[li] for li in used_links]
+        ids = list(used_links)
+        if grasped_n > 0:
+            gi = sm.link_index(robot.link_name_grasped_object)
+            for gidx in range(grasped_n):
+                gp = tuple(float(grasped_pts[gidx, k]) for k in range(3))
+                world = _matvec3(R_w[gi], gp)
+                pts.append(tuple(world[k] + t_w[gi][k] for k in range(3)))
+                ids.append(gi)
+        J = point_jacobians_lanes(sm, R_w, t_w, pts, ids, q_cols=q)
+        zeros = jnp.zeros_like(q[0])
+
+        rows_r: List = []         # each (TN,)
+        rows_J: List = []         # each: list of d (TN,) (or None) columns
+
+        def add_hinge(margin, val, grad, Jp):
+            """grad: ws_dim-tuple of (TN,); Jp: J[p] (d columns of
+            3-tuples)."""
+            r = jax.nn.relu(margin + cutoff - val)
+            act = (r > 0).astype(dtype)
+            cols = []
+            for j in range(d):
+                if Jp[j] is None:
+                    cols.append(None)
+                    continue
+                s = grad[0] * Jp[j][0]
+                for k in range(1, ws_dim):
+                    s = s + grad[k] * Jp[j][k]
+                cols.append(-act * s)
+            rows_r.append(r)
+            rows_J.append(cols)
+
+        # --- objects: per-point min-SDF value + gradient (vjp chains) ---
+        for mi, p in enumerate(obj_pos_list):
+            x = pts[p][:ws_dim]
+            val, vjp = jax.vjp(lambda xy: _static_scene_sdf(scene, xy), x)
+            grad = vjp(jnp.ones_like(val))[0]
+            add_hinge(float(obj_margins[mi]), val, grad, J[p])
+
+        # --- workspace bounds: min-face distance + sign gradient ---
+        for mi, p in enumerate(obj_pos_list):
+            x = pts[p][:ws_dim]
+            faces = [x[k] - float(ws_min[k]) for k in range(ws_dim)] + \
+                    [float(ws_max[k]) - x[k] for k in range(ws_dim)]
+            val = faces[0]
+            for f in faces[1:]:
+                val = jnp.minimum(val, f)
+            # exact argmin semantics (first minimal face wins, matching the
+            # XLA path's jnp.argmin over [lows..., highs...])
+            is_min = [None] * (2 * ws_dim)
+            taken = jnp.zeros_like(val)
+            for fi in range(2 * ws_dim):
+                hit = ((faces[fi] <= val).astype(dtype)) * (1.0 - taken)
+                is_min[fi] = hit
+                taken = jnp.maximum(taken, hit)
+            grad = [is_min[k] - is_min[ws_dim + k] for k in range(ws_dim)]
+            add_hinge(float(obj_margins[mi]), val, grad, J[p])
+
+        # --- self-collision pairs ---
+        if self_pos_list is not None and pair_idxs is not None \
+                and len(pair_idxs) > 0:
+            for ki, (ia, ib) in enumerate(pair_idxs):
+                pa, pb = self_pos_list[ia], self_pos_list[ib]
+                diff = tuple(pts[pa][k] - pts[pb][k] for k in range(3))
+                d2 = diff[0] * diff[0] + diff[1] * diff[1] \
+                    + diff[2] * diff[2]
+                nz = d2 > 0
+                dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+                inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+                u = tuple(diff[k] * inv for k in range(3))
+                r = jax.nn.relu(float(self_margins[ki]) - dist)
+                act = (r > 0).astype(dtype)
+                cols = []
+                for j in range(d):
+                    Ja, Jb = J[pa][j], J[pb][j]
+                    if Ja is None and Jb is None:
+                        cols.append(None)
+                        continue
+                    s = None
+                    for k in range(3):
+                        a = Ja[k] if Ja is not None else zeros
+                        b = Jb[k] if Jb is not None else zeros
+                        t = u[k] * (a - b)
+                        s = t if s is None else s + t
+                    cols.append(-act * s)
+                rows_r.append(r)
+                rows_J.append(cols)
+
+        # --- dense assembly on VMEM-resident rows ---
+        cost = None
+        for r in rows_r:
+            t = r * r
+            cost = t if cost is None else cost + t
+        cost = 0.5 * cost
+
+        g_cols = []
+        for j in range(d):
+            acc = None
+            for r, cols in zip(rows_r, rows_J):
+                if cols[j] is None:
+                    continue
+                t = r * cols[j]
+                acc = t if acc is None else acc + t
+            g_cols.append(zeros if acc is None else acc)
+
+        H_rows = [[None] * d for _ in range(d)]
+        for i in range(d):
+            for j in range(i, d):
+                acc = None
+                for cols in rows_J:
+                    if cols[i] is None or cols[j] is None:
+                        continue
+                    t = cols[i] * cols[j]
+                    acc = t if acc is None else acc + t
+                ent = zeros if acc is None else acc
+                H_rows[i][j] = ent
+                H_rows[j][i] = ent
+        return g_cols, H_rows, cost
+
+    n_scene = len(scene_arrays)
+
+    def _out_struct(shape, dtype, *operands):
+        """Under shard_map (check_vma=True) a pallas_call out_shape must
+        carry the union of the operands' varying-axis sets."""
+        vma = frozenset()
+        for op in operands:
+            vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
+        if vma:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    def _kernel(q_ref, *refs):
+        scene_refs = refs[:n_scene]
+        g_ref, h_ref, c_ref = refs[n_scene:]
+        q = q_ref[...]
+        scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
+        g_cols, H_rows, cost = _tile_body(q, scene)
+        g_ref[...] = jnp.stack(g_cols)
+        h_ref[...] = jnp.stack([jnp.stack(row) for row in H_rows])
+        c_ref[...] = cost[None]
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def _run_kernel(q_cols, interpret=False):
+        N = q_cols.shape[-1]
+        tn = min(_TILE_N, N) if N % _TILE_N else _TILE_N
+        N_pad = ((N + tn - 1) // tn) * tn
+        if N_pad != N:
+            q_cols = jnp.pad(q_cols, ((0, 0), (0, N_pad - N)))
+        scene_specs = [
+            pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for a in scene_arrays]
+        g, Hqq, cost = pl.pallas_call(
+            _kernel,
+            out_shape=(
+                _out_struct((d, N_pad), q_cols.dtype, q_cols),
+                _out_struct((d, d, N_pad), q_cols.dtype, q_cols),
+                _out_struct((1, N_pad), q_cols.dtype, q_cols),
+            ),
+            grid=(N_pad // tn,),
+            in_specs=[pl.BlockSpec((d, tn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)] + scene_specs,
+            out_specs=(
+                pl.BlockSpec((d, tn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d, tn), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the chain body keeps many (TN,) values live; the default
+                # 16 MB scoped-VMEM stack OOMs at tile 1024 on larger
+                # point sets
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(q_cols, *[jnp.asarray(a) for a in scene_arrays])
+        return g[:, :N], Hqq[:, :, :N], cost[0, :N]
+
+    def terms(q_cols, lam, h=None, interpret=False):
+        if jax.default_backend() != "tpu" and not interpret:
+            return xla_terms(q_cols, lam, h=h)
+        N = q_cols.shape[-1]
+        dtype = q_cols.dtype
+        g_q, Hqq, cost = _run_kernel(q_cols, interpret=interpret)
+        g_q = lam * g_q
+        Hqq = lam * Hqq
+        cost = lam * cost
+        if h is not None:
+            Bl = N // h
+            g_h = jnp.moveaxis(g_q.reshape(d, h, Bl), 0, 1)   # (h, d, B)
+            H_h = jnp.moveaxis(Hqq.reshape(d, d, h, Bl), 2, 0)
+            g = jnp.concatenate(
+                [g_h, jnp.zeros((h, m - d, Bl), dtype)], axis=1)
+            top = jnp.concatenate(
+                [H_h, jnp.zeros((h, d, m - d, Bl), dtype)], axis=2)
+            bot = jnp.zeros((h, m - d, m, Bl), dtype)
+            return g, jnp.concatenate([top, bot], axis=1), \
+                cost.reshape(h, Bl)
+        g = jnp.concatenate([g_q, jnp.zeros((m - d, N), dtype)], axis=0)
+        top = jnp.concatenate(
+            [Hqq, jnp.zeros((d, m - d, N), dtype)], axis=1)
+        bot = jnp.zeros((m - d, m, N), dtype)
+        return g, jnp.concatenate([top, bot], axis=0), cost
+
+    return terms

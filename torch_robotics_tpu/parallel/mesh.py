@@ -132,8 +132,10 @@ def solve_sharded(residual_fn, theta0, start_state, goal_state, params,
 # bandwidth-bound; tools/scaling_bench.py --mode knee).  Large per-device
 # shares are therefore processed as sequential knee-sized chunks inside
 # the device program: B=1024/H=64 measured 167.6k (chunk 128) vs 114.2k
-# (unchunked) vs 147.8k (chunk 256).
-_POD_CHUNK = 128
+# (unchunked) vs 147.8k (chunk 256) — re-swept after the fused Pallas
+# terms kernel (ops/pallas_terms.py) moved the knee: 241k @ 128 /
+# 282k @ 256 / 280k @ 1024.
+_POD_CHUNK = 256
 
 
 @lru_cache(maxsize=64)

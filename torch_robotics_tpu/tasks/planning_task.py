@@ -263,11 +263,17 @@ class PlanningTask:
             residuals_and_jacobian.supports_batch = True
             residuals.residuals_and_jacobian = residuals_and_jacobian
 
-            # fully lane-vectorized GN terms (analytic scenes only)
+            # fully lane-vectorized GN terms (analytic scenes only); on TPU
+            # the fused Pallas terms kernel (FK -> Jacobians -> SDF ->
+            # hinge -> assembly in one VMEM pass, ~13x the XLA graph at
+            # bench shapes) takes precedence where it applies — its terms
+            # fn dispatches back to the XLA graph per call off-TPU
             from ..ops.lanes_fk import (lanes_supported_scene,
                                         obstacle_terms_lanes_factory)
+            from ..ops.pallas_terms import obstacle_terms_pallas_factory
             if lanes_supported_scene(self.df_obj_list):
-                lanes_terms = obstacle_terms_lanes_factory(self)
+                lanes_terms = (obstacle_terms_pallas_factory(self)
+                               or obstacle_terms_lanes_factory(self))
                 if lanes_terms is not None:
                     residuals.obstacle_terms_lanes = lanes_terms
 
