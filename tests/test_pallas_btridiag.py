@@ -52,3 +52,17 @@ def test_solve_lanes_auto_cpu_falls_back():
     x_ref = solve_lanes_core(Dt, Ut, bt)
     np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_bcr_matches_lanes_core_interpret():
+    """Cyclic-reduction kernel parity (incl. non-power-of-two H padding).
+
+    A kept NEGATIVE perf result — 1.78 vs 1.35 ms at the bench shapes, see
+    its docstring — but the math must stay correct."""
+    from torch_robotics_tpu.ops.pallas_btridiag import solve_lanes_pallas_bcr
+    for H, m, B in [(8, 4, 128), (6, 5, 128)]:
+        Dt, Ut, bt = _lanes_inputs(jax.random.PRNGKey(4), H, m, B)
+        x_ref = solve_lanes_core(Dt, Ut, bt)
+        x_p = solve_lanes_pallas_bcr(Dt, Ut, bt, tile_b=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                                   rtol=1e-4, atol=1e-5)

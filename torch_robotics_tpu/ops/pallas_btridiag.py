@@ -378,3 +378,206 @@ def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False):
         interpret=interpret,
     )(D, U3, b)
     return x
+
+
+def _kernel_bcr(m: int, H: int, D_ref, U_ref, b_ref, x_ref):
+    """Block CYCLIC REDUCTION, log2(H) wide levels instead of H narrow steps.
+
+    The sweep kernels above are ISSUE/latency-bound: each of the H
+    sequential steps runs ~O(m^3) dependent ops on (TB,)-wide vectors
+    (measured ~10 us/step at m=14, ~5x the bandwidth bound).  Cyclic
+    reduction eliminates the odd blocks of each level IN PARALLEL — the
+    same unrolled block algebra runs on (n_blocks, ..., TB)-wide arrays,
+    so the dependent-op count drops from H*O(m^3) to 2*log2(H)*O(m^2-ish)
+    wide ops.  Math mirrors solve/btridiag_bcr.py (elimination identities
+    in its module docstring); everything lives as VMEM values across the
+    unrolled levels.  Requires H a power of two (wrapper pads) and the
+    shared-U case (U (H, m, m), the GP prior's off-diagonal).
+
+    MEASURED NEGATIVE RESULT at the bench shapes (H=64, m=14, B=1024,
+    2026-08-19): 1.78 ms/solve at tile_b=128 vs 1.35 for the sweep kernel
+    — the per-level solve chains (m dependent Cholesky columns + 2m
+    substitution steps, ~2x for fwd+bwd per level) do not shrink with
+    level width, VMEM forces tile 128 (the value working set at tile 256
+    is ~109 MB), and the ~12k-op body costs a 17-minute Mosaic compile.
+    Kept (correct: parity 3e-7 incl. 1e8-precision GN systems) but NOT
+    wired into solve_lanes_auto; the sweep kernel remains the production
+    path.  Mosaic porting notes: stride-2 slicing and any integer index
+    on a >=3-D value lower to gathers (use reshape-pairs / index_in_dim),
+    middle-axis reductions are unsupported (unroll to multiply-add
+    chains), zero-size slices are invalid vector types (guard the n==2
+    level).
+    """
+    dtype = D_ref.dtype
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    def _ix(a, axis, i):
+        """Static integer index as a pure slice (jnp integer indexing on
+        >=3-D values lowers to a gather Mosaic rejects)."""
+        return jax.lax.index_in_dim(a, i, axis, keepdims=False)
+
+    D = D_ref[...]                                     # (H, m, m, TB)
+    b = b_ref[...]                                     # (H, m, TB)
+    TB = b.shape[-1]
+    U = U_ref[...][..., None]                          # (H, m, m, 1) shared
+
+    def chol_cols(A):
+        """Right-looking Cholesky of (n, m, m, TB) -> (columns, inv-diags,
+        stacked L).  Masked column extraction keeps rows < j exactly zero
+        (same structure as _kernel_cols, stable on the GN systems)."""
+        cols, invs = [], []
+        for j in range(m):
+            inv = pl.reciprocal(jnp.sqrt(_ix(_ix(A, 1, j), 1, j)), approx=False)
+            mask = (row_ids >= j).astype(dtype)[None]  # (1, m, 1)
+            col = _ix(A, 2, j) * inv[:, None, :] * mask
+            A = A - col[:, :, None, :] * col[:, None, :, :]
+            cols.append(col)
+            invs.append(inv)
+        return cols, invs, jnp.stack(cols, axis=2)     # L[:, i, j]=cols[j][i]
+
+    def solve_spd(A, X):
+        """A^-1 X per block: A (n, m, m, TB) SPD, X (n, m, k, TB).
+
+        Right-looking forward/backward substitution; each update touches
+        ALL rows in one wide op — cols[i] (masked) / Lm row i carry zeros
+        where no update belongs, and the solved row's self-cancellation is
+        harmless (its value is already captured in ``rows``/``ys``)."""
+        cols, invs, Lm = chol_cols(A)
+        rows = []
+        for i in range(m):                             # L W = X
+            wi = _ix(X, 1, i) * invs[i][:, None, :]
+            rows.append(wi)
+            X = X - cols[i][:, :, None, :] * wi[:, None, :, :]
+        W = jnp.stack(rows, axis=1)
+        ys = [None] * m
+        for i in reversed(range(m)):                   # L^T Y = W
+            yi = _ix(W, 1, i) * invs[i][:, None, :]
+            ys[i] = yi
+            W = W - _ix(Lm, 1, i)[:, :, None, :] * yi[:, None, :, :]
+        return jnp.stack(ys, axis=1)
+
+    def mm(A_, B_, transpose_a=False):
+        """Per-block matmul unrolled into multiply-add chains — Mosaic has
+        no multi_reduction over a middle axis: (n, m, m, TB) x
+        (n, m, k, TB) -> (n, m, k, TB)."""
+        B_rows = [_ix(B_, 1, p) for p in range(m)]     # each (n, k, TB)
+        rows = []
+        for i in range(m):
+            a_i = _ix(A_, 2, i) if transpose_a else _ix(A_, 1, i)
+            acc = None
+            for p in range(m):
+                t = _ix(a_i, 1, p)[:, None, :] * B_rows[p]
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+        return jnp.stack(rows, axis=1)
+
+    def mv(A_, x_, transpose_a=False):
+        x_rows = [_ix(x_, 1, p) for p in range(m)]     # each (n, TB)
+        rows = []
+        for i in range(m):
+            a_i = _ix(A_, 2, i) if transpose_a else _ix(A_, 1, i)
+            acc = None
+            for p in range(m):
+                t = _ix(a_i, 1, p) * x_rows[p]
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+        return jnp.stack(rows, axis=1)
+
+    saved = []
+    n = H
+    while n > 1:
+        # stride-2 slicing lowers to a (>2D) gather Mosaic rejects; a
+        # leading-dim reshape + unit slice is layout-preserving instead
+        Dp = D.reshape((n // 2, 2) + D.shape[1:])
+        Up = U.reshape((n // 2, 2) + U.shape[1:])
+        bp = b.reshape((n // 2, 2) + b.shape[1:])
+        D_e, D_o = _ix(Dp, 1, 0), _ix(Dp, 1, 1)
+        U_e, U_o = _ix(Up, 1, 0), _ix(Up, 1, 1)
+        b_e, b_o = _ix(bp, 1, 0), _ix(bp, 1, 1)
+
+        ones = jnp.ones((1, 1, 1, TB), dtype)
+        rhs = jnp.concatenate(
+            [jnp.swapaxes(U_e, 1, 2) * ones, U_o * ones,
+             b_o[:, :, None, :]], axis=2)              # (n/2, m, 2m+1, TB)
+        sol = solve_spd(D_o, rhs)
+        A_f = sol[:, :, :m]
+        C_f = sol[:, :, m:2 * m]
+        beta = _ix(sol, 2, 2 * m)
+
+        UoT_C = mm(U_o, C_f, transpose_a=True)
+        UoT_beta = mv(U_o, beta, transpose_a=True)
+        zb = jnp.zeros_like(UoT_C[:1])
+        zv = jnp.zeros_like(UoT_beta[:1])
+        # zero-size slices are invalid Mosaic vector types: guard n == 2
+        shift_C = (jnp.concatenate([zb, UoT_C[:-1]], axis=0)
+                   if n > 2 else zb)
+        shift_b = (jnp.concatenate([zv, UoT_beta[:-1]], axis=0)
+                   if n > 2 else zv)
+        D = D_e - shift_C - mm(U_e, A_f)
+        b = b_e - shift_b - mv(U_e, beta)
+        U_new = -mm(U_e, C_f)
+        U = (jnp.concatenate([U_new[:-1], jnp.zeros_like(U_new[:1])], axis=0)
+             if n > 2 else jnp.zeros_like(U_new))
+        saved.append((A_f, C_f, beta))
+        n //= 2
+
+    x = _ix(solve_spd(D, b[:, :, None, :]), 2, 0)      # (1, m, TB)
+
+    for A_f, C_f, beta in reversed(saved):
+        n2 = A_f.shape[0]
+        x_next = (jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+                  if n2 > 1 else jnp.zeros_like(x))
+        x_o = beta - mv(A_f, x) - mv(C_f, x_next)
+        x = jnp.stack([x, x_o], axis=1).reshape(2 * n2, m, TB)
+
+    x_ref[...] = x
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas_bcr(D, U, b, tile_b: int = 256,
+                           interpret: bool = False):
+    """Cyclic-reduction block-tridiagonal SPD solve, one Pallas kernel.
+
+    D (H, m, m, B), U (H, m, m, 1) shared over the batch (last block
+    unused), b (H, m, B) -> x (H, m, B).  H is padded to a power of two
+    with decoupled identity blocks; B must be a multiple of ``tile_b``.
+    """
+    H, m, _, B = D.shape
+    assert B % tile_b == 0, (B, tile_b)
+    assert U.shape[-1] == 1, "BCR kernel requires the shared-U case"
+    H2 = 1
+    while H2 < H:
+        H2 *= 2
+    pad = H2 - H
+    U3 = U[..., 0]                                     # (H, m, m)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=D.dtype)[None, :, :, None],
+                               (pad, m, m, B))
+        D = jnp.concatenate([D, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, m, B), D.dtype)], axis=0)
+        # zero the coupling out of the original last block and the pads
+        U3 = jnp.concatenate(
+            [U3[: H - 1], jnp.zeros((pad + 1, m, m), D.dtype)], axis=0)
+    else:
+        U3 = jnp.concatenate([U3[: H - 1], jnp.zeros((1, m, m), D.dtype)],
+                             axis=0)
+
+    x = pl.pallas_call(
+        partial(_kernel_bcr, m, H2),
+        out_shape=_out_struct((H2, m, B), D.dtype, D, U, b),
+        grid=(B // tile_b,),
+        in_specs=[
+            pl.BlockSpec((H2, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H2, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H2, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H2, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(D, U3, b)
+    return x[:H]
