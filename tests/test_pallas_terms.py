@@ -82,6 +82,36 @@ def test_pallas_terms_cpu_dispatch_equals_xla():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_multirobot_pallas_terms_interpret_matches_structured():
+    """MultiRobot fused kernel (group-stacked assembly) == the block-
+    structured XLA path.  On-chip A/B at config-4 shapes: 2.15 -> 0.442
+    ms/iter (4.9x), config 4 30.4k -> 51.6k solves/s."""
+    from torch_robotics_tpu.core import z_rot
+    from torch_robotics_tpu.ops import lanes_fk
+    from torch_robotics_tpu.robots import MultiRobot
+
+    robots = [RobotPanda.create(), RobotUR10()]
+    poses = [(jnp.eye(3), jnp.array([0.2, 0.55, 0.0])),
+             (z_rot(jnp.array(jnp.pi)), jnp.array([0.2, -0.55, 0.0]))]
+    robot = MultiRobot.create(robots, poses)
+    task = PlanningTask(env=EnvSpheres3D(), robot=robot,
+                        obstacle_cutoff_margin=0.02)
+    d = robot.q_dim
+    q = jax.random.uniform(jax.random.PRNGKey(3), (d, 16),
+                           minval=jnp.tile(robot.q_min[:, None], (1, 16)),
+                           maxval=jnp.tile(robot.q_max[:, None], (1, 16)))
+    t_xla = lanes_fk.obstacle_terms_lanes_multirobot_factory(task)
+    t_pal = obstacle_terms_pallas_factory(task)
+    assert t_pal is not None
+    for h in (None, 4):
+        a = t_xla(q, 50.0, h=h)
+        b = t_pal(q, 50.0, h=h, interpret=True)
+        for x, y in zip(a, b):
+            scale = float(jnp.abs(x).max()) + 1e-30
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=3e-5 * scale, rtol=2e-5)
+
+
 def test_gn_assembly_kernel_interpret_matches_reference():
     """ops/pallas_gn_assembly.py is a kept NEGATIVE result (XLA single-
     passes materialized assembly reduces already; see its docstring) but

@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lanes_fk import (_group_sdf_lanes, _matvec3, fk_lanes,
+from .lanes_fk import (_group_sdf_lanes, _matmul3, _matvec3, fk_lanes,
                        obstacle_terms_lanes_factory, point_jacobians_lanes)
 
 __all__ = ["StaticModel", "obstacle_terms_pallas_factory"]
@@ -165,16 +165,19 @@ def obstacle_terms_pallas_factory(task):
     robot = task.robot
     from ..robots import RobotPointMass
     from ..robots.multi_robot import MultiRobot
-    if isinstance(robot, (RobotPointMass, MultiRobot)):
+    if isinstance(robot, RobotPointMass):
         return None
-    if not hasattr(robot, "model") or robot.object_interpolate:
-        return None
-    if getattr(robot, "self_collision_net", None) is not None:
-        return None         # MLP vjp in-kernel: not worth the layout change
     scal = _scalarize_scene(task.df_obj_list)
     if scal is None:
         return None
     scene_spec, scene_arrays = scal
+    if isinstance(robot, MultiRobot):
+        return _multirobot_terms_pallas_factory(task, robot, scene_spec,
+                                                scene_arrays)
+    if not hasattr(robot, "model") or robot.object_interpolate:
+        return None
+    if getattr(robot, "self_collision_net", None) is not None:
+        return None         # MLP vjp in-kernel: not worth the layout change
     xla_terms = obstacle_terms_lanes_factory(task)
     if xla_terms is None:
         return None
@@ -330,17 +333,26 @@ def obstacle_terms_pallas_factory(task):
                 H_rows[j][i] = ent
         return g_cols, H_rows, cost
 
-    n_scene = len(scene_arrays)
+    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms)
 
-    def _out_struct(shape, dtype, *operands):
-        """Under shard_map (check_vma=True) a pallas_call out_shape must
-        carry the union of the operands' varying-axis sets."""
-        vma = frozenset()
-        for op in operands:
-            vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
-        if vma:
-            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-        return jax.ShapeDtypeStruct(shape, dtype)
+
+def _out_struct(shape, dtype, *operands):
+    """Under shard_map (check_vma=True) a pallas_call out_shape must
+    carry the union of the operands' varying-axis sets."""
+    vma = frozenset()
+    for op in operands:
+        vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
+    """Wrap a tile body ((d, TN) q, scene -> g_cols, H_rows, cost) into the
+    pallas_call + terms-contract dispatcher shared by the single-robot and
+    MultiRobot factories."""
+    m = 2 * d
+    n_scene = len(scene_arrays)
 
     def _kernel(q_ref, *refs):
         scene_refs = refs[:n_scene]
@@ -417,3 +429,217 @@ def obstacle_terms_pallas_factory(task):
         return g, jnp.concatenate([top, bot], axis=0), cost
 
     return terms
+
+
+def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
+    """Fused terms kernel for a ``MultiRobot``: per-member FK + Jacobians
+    in-kernel, then GROUP-STACKED assembly — rows are grouped by their
+    column support (each member's object/ws/own-pair rows span only that
+    member's columns; each mutual-pair group spans two members'), stacked
+    into (rows, TN) arrays, and every g/H entry is ONE leading-axis
+    multiply-reduce.  The per-entry-per-row chains of the single-robot
+    body would be ~60k ops at q_dim=20 x 143 rows (Mosaic cannot digest
+    that); grouping gets the same dense math in ~500 wide ops.  Residual
+    set identical to the XLA paths (structured or generic — the outputs
+    are symmetric reductions over rows, so row order is irrelevant).
+    """
+    members = robot.robots
+    if not all(hasattr(r, "model") for r in members):
+        return None
+    if any(getattr(r, "object_interpolate", False) for r in members):
+        return None
+    if any(getattr(r, "self_collision_net", None) is not None
+           for r in members):
+        return None
+    xla_terms = obstacle_terms_lanes_factory(task)
+    if xla_terms is None:
+        return None
+
+    sms = [StaticModel(r.model) for r in members]
+    base_R = np.asarray(robot.base_rots, np.float64)
+    base_t = np.asarray(robot.base_trans, np.float64)
+    d_list = [r.q_dim for r in members]
+    d_off = np.cumsum([0] + d_list)
+    d = robot.q_dim
+    n_mem = len(members)
+    obj_counts = list(robot.obj_counts)
+    self_counts = list(robot.self_counts)
+    n_obj_total = sum(obj_counts)
+    cutoff = float(task.obstacle_cutoff_margin)
+    ws_min = np.asarray(task.ws_min, np.float64)
+    ws_max = np.asarray(task.ws_max, np.float64)
+    ws_dim = int(ws_min.shape[0])
+    obj_margins = np.asarray(robot.object_margins, np.float64)
+    self_margins = (np.asarray(robot.self_margins, np.float64)
+                    if getattr(robot, "self_margins", None) is not None
+                    else None)
+    pair_idxs = (np.asarray(robot.self_pair_idxs)
+                 if robot.self_pair_idxs else None)
+    # member owning each layout position (obj sections then self sections)
+    pos_member = []
+    for k, c in enumerate(obj_counts):
+        pos_member += [k] * c
+    for k, c in enumerate(self_counts):
+        pos_member += [k] * c
+
+    def _tile_body(q, scene):
+        dtype = q.dtype
+        zeros = jnp.zeros_like(q[0])
+
+        # --- per-member FK -> world points + member-width Jacobians ---
+        obj_pts, self_pts = [], []
+        obj_J, self_J = [], []         # member-width column lists
+        for mi, r in enumerate(members):
+            sm = sms[mi]
+            lo, hi = int(d_off[mi]), int(d_off[mi + 1])
+            q_i = q[lo:hi]
+            Rb = tuple(tuple(float(base_R[mi, a, c2]) for c2 in range(3))
+                       for a in range(3))
+            tb = tuple(float(base_t[mi, k]) for k in range(3))
+            R_w, t_w = fk_lanes(sm, q_i)
+            R_wW = [_matmul3(Rb, R) for R in R_w]
+            t_wW = []
+            for t in t_w:
+                tw = _matvec3(Rb, t)
+                t_wW.append(tuple(tw[k] + tb[k] for k in range(3)))
+
+            m_obj = [t_wW[li] for li in r.object_coll_idxs]
+            m_obj_ids = list(r.object_coll_idxs)
+            m_self, m_self_ids = [], []
+            if r.self_coll_idxs:
+                m_self = [t_wW[li] for li in r.self_coll_idxs]
+                m_self_ids = list(r.self_coll_idxs)
+            gn = int(getattr(r, "grasped_n_points", 0))
+            if gn > 0:
+                gi = sm.link_index(r.link_name_grasped_object)
+                gp_np = np.asarray(r.grasped_points)
+                g_pts = []
+                for gidx in range(gn):
+                    gp = tuple(float(gp_np[gidx, k]) for k in range(3))
+                    w = _matvec3(R_wW[gi], gp)
+                    g_pts.append(tuple(w[k] + t_wW[gi][k] for k in range(3)))
+                m_obj += g_pts
+                m_obj_ids += [gi] * gn
+                if r.self_coll_idxs:
+                    m_self += g_pts
+                    m_self_ids += [gi] * gn
+            all_pts = m_obj + m_self
+            J_i = point_jacobians_lanes(sm, R_wW, t_wW, all_pts,
+                                        m_obj_ids + m_self_ids, q_cols=q_i)
+            obj_pts += m_obj
+            self_pts += m_self
+            obj_J += J_i[:len(m_obj)]
+            self_J += J_i[len(m_obj):]
+        pts = obj_pts + self_pts
+        J = obj_J + self_J            # member-width lists (use pos_member)
+
+        def col3(Jp, j):
+            """3-tuple of (TN,) for member-width column j (None -> zeros)."""
+            if Jp[j] is None:
+                return (zeros, zeros, zeros)
+            return Jp[j]
+
+        # --- groups: key = tuple of involved members, value = list of
+        # (r_row, {global_col: (TN,) Jr entry}) ---
+        groups = {}
+
+        def add_row(key, r_row, coldict):
+            groups.setdefault(key, []).append((r_row, coldict))
+
+        def hinge_cols(mi, Jp, grad, act):
+            lo = int(d_off[mi])
+            out = {}
+            for j in range(d_list[mi]):
+                cj = col3(Jp, j)
+                s = grad[0] * cj[0]
+                for k in range(1, ws_dim):
+                    s = s + grad[k] * cj[k]
+                out[lo + j] = -act * s
+            return out
+
+        # objects + workspace bounds (per object point)
+        for p in range(n_obj_total):
+            mi = pos_member[p]
+            x = pts[p][:ws_dim]
+            val, vjp = jax.vjp(lambda xy: _static_scene_sdf(scene, xy), x)
+            grad = vjp(jnp.ones_like(val))[0]
+            r = jax.nn.relu(float(obj_margins[p]) + cutoff - val)
+            act = (r > 0).astype(dtype)
+            add_row((mi,), r, hinge_cols(mi, J[p], grad, act))
+
+            faces = [x[k] - float(ws_min[k]) for k in range(ws_dim)] + \
+                    [float(ws_max[k]) - x[k] for k in range(ws_dim)]
+            val_w = faces[0]
+            for f in faces[1:]:
+                val_w = jnp.minimum(val_w, f)
+            is_min = [None] * (2 * ws_dim)
+            taken = jnp.zeros_like(val_w)
+            for fi in range(2 * ws_dim):
+                hit = ((faces[fi] <= val_w).astype(dtype)) * (1.0 - taken)
+                is_min[fi] = hit
+                taken = jnp.maximum(taken, hit)
+            grad_w = [is_min[k] - is_min[ws_dim + k] for k in range(ws_dim)]
+            r_w = jax.nn.relu(float(obj_margins[p]) + cutoff - val_w)
+            act_w = (r_w > 0).astype(dtype)
+            add_row((mi,), r_w, hinge_cols(mi, J[p], grad_w, act_w))
+
+        # self-collision pairs (own-member AND mutual, uniform handling)
+        if pair_idxs is not None:
+            for ki, (pa, pb) in enumerate(pair_idxs):
+                pa, pb = int(pa), int(pb)
+                ma, mb = pos_member[pa], pos_member[pb]
+                diff = tuple(pts[pa][k] - pts[pb][k] for k in range(3))
+                d2 = diff[0] * diff[0] + diff[1] * diff[1] \
+                    + diff[2] * diff[2]
+                nz = d2 > 0
+                dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+                inv = jnp.where(nz, 1.0 / jnp.maximum(dist, 1e-9), 0.0)
+                u = tuple(diff[k] * inv for k in range(3))
+                r = jax.nn.relu(float(self_margins[ki]) - dist)
+                act = (r > 0).astype(dtype)
+                coldict = {}
+                for mi, p_i, sign in ((ma, pa, 1.0), (mb, pb, -1.0)):
+                    lo = int(d_off[mi])
+                    for j in range(d_list[mi]):
+                        cj = col3(J[p_i], j)
+                        s = u[0] * cj[0] + u[1] * cj[1] + u[2] * cj[2]
+                        ent = -act * (sign * s)
+                        c = lo + j
+                        coldict[c] = (coldict[c] + ent if c in coldict
+                                      else ent)
+                key = (ma,) if ma == mb else tuple(sorted((ma, mb)))
+                add_row(key, r, coldict)
+
+        # --- group-stacked assembly ---
+        g_cols = [None] * d
+        H_rows = [[None] * d for _ in range(d)]
+        cost = None
+        for key, rows in groups.items():
+            support = []
+            for mi in key:
+                support += list(range(int(d_off[mi]), int(d_off[mi + 1])))
+            r_stack = jnp.stack([r for r, _ in rows])        # (K, TN)
+            col_stacks = {
+                c: jnp.stack([cd.get(c, zeros) for _, cd in rows])
+                for c in support}
+            t = jnp.sum(r_stack * r_stack, axis=0)
+            cost = t if cost is None else cost + t
+            for c in support:
+                t = jnp.sum(r_stack * col_stacks[c], axis=0)
+                g_cols[c] = t if g_cols[c] is None else g_cols[c] + t
+            for ai in range(len(support)):
+                for bi in range(ai, len(support)):
+                    i, j = support[ai], support[bi]
+                    t = jnp.sum(col_stacks[i] * col_stacks[j], axis=0)
+                    H_rows[i][j] = (t if H_rows[i][j] is None
+                                    else H_rows[i][j] + t)
+        for i in range(d):
+            g_cols[i] = zeros if g_cols[i] is None else g_cols[i]
+            for j in range(i, d):
+                ent = H_rows[i][j]
+                ent = zeros if ent is None else ent
+                H_rows[i][j] = ent
+                H_rows[j][i] = ent
+        return g_cols, H_rows, 0.5 * cost
+
+    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms)
