@@ -112,6 +112,57 @@ def test_multirobot_pallas_terms_interpret_matches_structured():
                                        atol=3e-5 * scale, rtol=2e-5)
 
 
+def test_cost_kernel_interpret_matches_terms():
+    """collision_cost_pallas_factory == the terms graph's cost output
+    (lam=1), single robot and MultiRobot; and the task wires it."""
+    from torch_robotics_tpu.core import z_rot
+    from torch_robotics_tpu.ops.pallas_terms import (
+        collision_cost_pallas_factory)
+    from torch_robotics_tpu.robots import MultiRobot
+
+    for robot in (RobotPanda.create(),
+                  MultiRobot.create(
+                      [RobotPanda.create(), RobotUR10()],
+                      [(jnp.eye(3), jnp.array([0.2, 0.55, 0.0])),
+                       (z_rot(jnp.array(jnp.pi)),
+                        jnp.array([0.2, -0.55, 0.0]))])):
+        task = PlanningTask(env=EnvSpheres3D(), robot=robot,
+                            obstacle_cutoff_margin=0.03)
+        c_pal = collision_cost_pallas_factory(task)
+        assert c_pal is not None
+        assert getattr(task.collision_residuals, "collision_cost_lanes",
+                       None) is not None
+        q = _rand_q(robot, 16, seed=5)
+        ref = obstacle_terms_lanes_factory(task)(q, 1.0)[2]
+        got = c_pal(q, interpret=True)
+        scale = float(jnp.abs(ref).max()) + 1e-30
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5 * scale, rtol=2e-5)
+
+
+def test_chomp_fused_gradient_matches_autodiff():
+    """CHOMP's obstacle gradient via the lanes/fused terms hook equals
+    autodiff through the residual chain (CPU: both take the XLA path)."""
+    from torch_robotics_tpu.solve.chomp import CHOMPParams, chomp_solve
+    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+
+    task = PlanningTask(env=EnvSpheres3D(), robot=RobotPanda.create(),
+                        obstacle_cutoff_margin=0.03)
+    start = jnp.concatenate([jnp.zeros(7), jnp.zeros(7)])
+    goal = jnp.concatenate([jnp.full(7, 0.5), jnp.zeros(7)])
+    theta0 = straight_line_trajs(start[None], goal[None], 16)
+    p = CHOMPParams(n_support_points=16, opt_iters=8, sigma_coll=1e-2)
+    res_hook = chomp_solve(task.collision_residuals, theta0, start, goal, p)
+
+    # plain residual fn (no hooks) -> autodiff path
+    def plain(q):
+        return task.collision_residuals(q)
+    plain.supports_batch = True
+    res_ad = chomp_solve(plain, theta0, start, goal, p)
+    np.testing.assert_allclose(np.asarray(res_hook.trajs),
+                               np.asarray(res_ad.trajs), atol=1e-5)
+
+
 def test_gn_assembly_kernel_interpret_matches_reference():
     """ops/pallas_gn_assembly.py is a kept NEGATIVE result (XLA single-
     passes materialized assembly reduces already; see its docstring) but

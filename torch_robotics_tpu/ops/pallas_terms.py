@@ -643,3 +643,189 @@ def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
         return g_cols, H_rows, 0.5 * cost
 
     return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms)
+
+
+def collision_cost_pallas_factory(task):
+    """Fused per-waypoint collision-COST kernel: q_cols (d, N) ->
+    0.5 * sum_p r_p(q)^2 (N,), UNSCALED by the collision weight.
+
+    The value-only body skips Jacobians and gradients entirely (no vjp, no
+    assembly), so it is much leaner than the terms kernel — built for the
+    forward-only cost evaluations that dominate the sampling/line-search
+    solvers (sGPMP scores K samples per iteration, iLQR evaluates every
+    line-search step; both use the cost value, never its derivative).
+    FORWARD-EVAL ONLY: pallas_call has no autodiff rule — solvers that
+    need gradients use ``obstacle_terms_lanes``'s g instead.  Off-TPU the
+    returned fn falls back to the XLA terms graph's cost output.
+
+    Supports the same tasks as ``obstacle_terms_pallas_factory`` (single
+    kinematic robots and MultiRobot, analytic scenes, no learned net);
+    returns None otherwise.
+    """
+    robot = task.robot
+    from ..robots import RobotPointMass
+    from ..robots.multi_robot import MultiRobot
+    if isinstance(robot, RobotPointMass):
+        return None
+    scal = _scalarize_scene(task.df_obj_list)
+    if scal is None:
+        return None
+    scene_spec, scene_arrays = scal
+    xla_terms = obstacle_terms_lanes_factory(task)
+    if xla_terms is None:
+        return None
+
+    # unified member list (single robot = one member with identity base)
+    if isinstance(robot, MultiRobot):
+        members = robot.robots
+        if not all(hasattr(r, "model") for r in members):
+            return None
+        if any(getattr(r, "object_interpolate", False) for r in members):
+            return None
+        if any(getattr(r, "self_collision_net", None) is not None
+               for r in members):
+            return None
+        base_R = np.asarray(robot.base_rots, np.float64)
+        base_t = np.asarray(robot.base_trans, np.float64)
+        d_list = [r.q_dim for r in members]
+        pair_pos = (np.asarray(robot.self_pair_idxs)
+                    if robot.self_pair_idxs else None)
+    else:
+        if not hasattr(robot, "model") or robot.object_interpolate:
+            return None
+        if getattr(robot, "self_collision_net", None) is not None:
+            return None
+        members = [robot]
+        base_R = np.eye(3, dtype=np.float64)[None]
+        base_t = np.zeros((1, 3), np.float64)
+        d_list = [robot.q_dim]
+        pair_pos = None        # filled below against the unified layout
+
+    sms = [StaticModel(r.model) for r in members]
+    d_off = np.cumsum([0] + d_list)
+    d = robot.q_dim
+    cutoff = float(task.obstacle_cutoff_margin)
+    ws_min = np.asarray(task.ws_min, np.float64)
+    ws_max = np.asarray(task.ws_max, np.float64)
+    ws_dim = int(ws_min.shape[0])
+    obj_margins = np.asarray(robot.object_margins, np.float64)
+    self_margins = (np.asarray(robot.self_margins, np.float64)
+                    if getattr(robot, "self_margins", None) is not None
+                    else None)
+    # unified layout: member-major obj sections, then member-major self
+    # sections; count sections to place single-robot pair indices
+    obj_count = 0
+    self_count = 0
+    for r in members:
+        obj_count += len(r.object_coll_idxs) + int(
+            getattr(r, "grasped_n_points", 0))
+        if r.self_coll_idxs:
+            self_count += len(r.self_coll_idxs) + int(
+                getattr(r, "grasped_n_points", 0))
+    if not isinstance(robot, MultiRobot):
+        if robot.self_pair_idxs is not None and len(robot.self_pair_idxs):
+            p = np.asarray(robot.self_pair_idxs)
+            pair_pos = p + obj_count      # self section follows obj section
+    n_obj_total = obj_count
+
+    def _tile_cost(q, scene):
+        dtype = q.dtype
+        obj_pts, self_pts = [], []
+        for mi, r in enumerate(members):
+            sm = sms[mi]
+            q_i = q[int(d_off[mi]):int(d_off[mi + 1])]
+            Rb = tuple(tuple(float(base_R[mi, a, c2]) for c2 in range(3))
+                       for a in range(3))
+            tb = tuple(float(base_t[mi, k]) for k in range(3))
+            R_w, t_w = fk_lanes(sm, q_i)
+            R_wW = [_matmul3(Rb, R) for R in R_w]
+            t_wW = []
+            for t in t_w:
+                tw = _matvec3(Rb, t)
+                t_wW.append(tuple(tw[k] + tb[k] for k in range(3)))
+            m_obj = [t_wW[li] for li in r.object_coll_idxs]
+            m_self = ([t_wW[li] for li in r.self_coll_idxs]
+                      if r.self_coll_idxs else [])
+            gn = int(getattr(r, "grasped_n_points", 0))
+            if gn > 0:
+                gi = sm.link_index(r.link_name_grasped_object)
+                gp_np = np.asarray(r.grasped_points)
+                for gidx in range(gn):
+                    gp = tuple(float(gp_np[gidx, k]) for k in range(3))
+                    w = _matvec3(R_wW[gi], gp)
+                    pt = tuple(w[k] + t_wW[gi][k] for k in range(3))
+                    m_obj.append(pt)
+                    if r.self_coll_idxs:
+                        m_self.append(pt)
+            obj_pts += m_obj
+            self_pts += m_self
+        pts = obj_pts + self_pts
+
+        cost = None
+
+        def acc(r):
+            nonlocal cost
+            t = r * r
+            cost = t if cost is None else cost + t
+
+        for p in range(n_obj_total):
+            x = pts[p][:ws_dim]
+            val = _static_scene_sdf(scene, x)
+            acc(jax.nn.relu(float(obj_margins[p]) + cutoff - val))
+            faces = [x[k] - float(ws_min[k]) for k in range(ws_dim)] + \
+                    [float(ws_max[k]) - x[k] for k in range(ws_dim)]
+            val_w = faces[0]
+            for f in faces[1:]:
+                val_w = jnp.minimum(val_w, f)
+            acc(jax.nn.relu(float(obj_margins[p]) + cutoff - val_w))
+
+        if pair_pos is not None:
+            for ki, (pa, pb) in enumerate(pair_pos):
+                pa, pb = int(pa), int(pb)
+                diff = tuple(pts[pa][k] - pts[pb][k] for k in range(3))
+                d2 = diff[0] * diff[0] + diff[1] * diff[1] \
+                    + diff[2] * diff[2]
+                nz = d2 > 0
+                dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
+                acc(jax.nn.relu(float(self_margins[ki]) - dist))
+        return 0.5 * cost
+
+    n_scene = len(scene_arrays)
+
+    def _kernel(q_ref, *refs):
+        scene_refs = refs[:n_scene]
+        c_ref = refs[n_scene]
+        scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
+        c_ref[...] = _tile_cost(q_ref[...], scene)[None]
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def _run_kernel(q_cols, interpret=False):
+        N = q_cols.shape[-1]
+        tn = min(_TILE_N, N) if N % _TILE_N else _TILE_N
+        N_pad = ((N + tn - 1) // tn) * tn
+        if N_pad != N:
+            q_cols = jnp.pad(q_cols, ((0, 0), (0, N_pad - N)))
+        scene_specs = [
+            pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for a in scene_arrays]
+        cost = pl.pallas_call(
+            _kernel,
+            out_shape=_out_struct((1, N_pad), q_cols.dtype, q_cols),
+            grid=(N_pad // tn,),
+            in_specs=[pl.BlockSpec((d, tn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)] + scene_specs,
+            out_specs=pl.BlockSpec((1, tn), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(q_cols, *[jnp.asarray(a) for a in scene_arrays])
+        return cost[0, :N]
+
+    def cost_fn(q_cols, interpret=False):
+        if jax.default_backend() != "tpu" and not interpret:
+            return xla_terms(q_cols, 1.0)[2]
+        return _run_kernel(q_cols, interpret=interpret)
+
+    return cost_fn

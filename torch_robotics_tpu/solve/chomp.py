@@ -60,22 +60,40 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
     lam = 1.0 / (params.sigma_coll ** 2)
 
     # batch-polymorphic residuals (PlanningTask) take the batched lanes FK
-    # path (~20x the vmapped per-sample form); plain per-sample fns vmap
+    # path (~20x the vmapped per-sample form); plain per-sample fns vmap.
+    # The lanes/fused GN terms hook gives the functional obstacle gradient
+    # lam J^T r (and the cost) directly — on TPU that is the fused Pallas
+    # terms kernel, an order of magnitude over autodiff through the chain
     batched = getattr(residual_fn, "supports_batch", False)
+    lanes_terms = getattr(residual_fn, "obstacle_terms_lanes", None)
+
+    cost_lanes = getattr(residual_fn, "collision_cost_lanes", None)
 
     def obstacle_cost(theta):
         q = theta[..., :d]
         q_flat = q.reshape((-1, d))
+        if cost_lanes is not None:
+            return lam * jnp.sum(cost_lanes(q_flat.T))
         r = (residual_fn(q_flat) if batched
              else jax.vmap(residual_fn)(q_flat))
         return 0.5 * lam * jnp.sum(jnp.square(r))
+
+    def obstacle_grad_and_cost(theta):
+        """(d obstacle_cost / d theta, obstacle_cost)."""
+        if lanes_terms is not None:
+            q_cols = theta[..., :d].reshape((-1, d)).T       # (d, N)
+            g_q, _, cost = lanes_terms(q_cols, lam)          # (m, N), (N,)
+            g = g_q.T.reshape(theta.shape)     # velocity rows are zero
+            return g, jnp.sum(cost)
+        cost, g = jax.value_and_grad(obstacle_cost)(theta)
+        return g, cost
 
     def step(theta, _):
         # functional gradient: prior-weighted smoothness + obstacle
         g_gp, D, U = gp_prior_terms(
             theta, start_state, goal_state, params.dt, params.sigma_start,
             params.sigma_gp, params.sigma_goal)
-        g_obs = jax.grad(obstacle_cost)(theta)
+        g_obs, _ = obstacle_grad_and_cost(theta)
         g = params.weight_prior_cost * g_gp + g_obs
         g = jnp.clip(g, -params.grad_clip, params.grad_clip)
         # precondition by the smoothness metric (block-tridiagonal solve;

@@ -125,6 +125,19 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
         return (residual_fn(q_flat) if res_batched
                 else jax.vmap(residual_fn)(q_flat))
 
+    # fused forward-only cost kernel (ops/pallas_terms.py): the line
+    # search evaluates cost VALUES at every candidate — never their
+    # derivative — so it can skip the residual materialization entirely
+    cost_lanes = getattr(residual_fn, "collision_cost_lanes", None)
+
+    def batch_coll_cost(q):
+        """q (..., H-1, d) -> 0.5 * sum_p r^2 summed over waypoints."""
+        if cost_lanes is not None:
+            c = cost_lanes(q.reshape(-1, d).T)
+            return jnp.sum(c.reshape(q.shape[:-1]), axis=-1)
+        res = batch_residuals(q.reshape(-1, d)).reshape(q.shape[:-1] + (-1,))
+        return 0.5 * jnp.sum(jnp.square(res), axis=(-1, -2))
+
     def batch_raj(q_flat):
         if raj is not None:
             return raj(q_flat) if raj_batched else jax.vmap(raj)(q_flat)
@@ -134,9 +147,7 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
     def total_cost(xs, U):
         """xs (..., H, m), U (..., H-1, d) -> (...,) batch costs."""
         q = xs[..., :-1, :d]
-        res = batch_residuals(q.reshape(-1, d)).reshape(
-            q.shape[:-1] + (-1,))
-        c = 0.5 * lam * jnp.sum(jnp.square(res), axis=(-1, -2)) \
+        c = lam * batch_coll_cost(q) \
             + 0.5 * r * jnp.sum(jnp.square(U), axis=(-1, -2))
         if kr:
             c = c + 0.5 * kr * jnp.sum(

@@ -89,15 +89,25 @@ def sgpmp_solve(residual_fn: Callable, theta0, start_state, goal_state,
     K = params.num_samples
 
     # batch-polymorphic residuals (PlanningTask) take the batched lanes FK
-    # path (~20x the vmapped per-sample form); plain per-sample fns vmap
+    # path (~20x the vmapped per-sample form); plain per-sample fns vmap.
+    # When the task exposes the fused forward-only cost kernel
+    # (collision_cost_lanes, ops/pallas_terms.py), candidate scoring —
+    # the dominant work here: K samples per iteration — uses it directly
+    # (cost VALUES only; this solver never differentiates the cost).
     batched = getattr(residual_fn, "supports_batch", False)
+    cost_lanes = getattr(residual_fn, "collision_cost_lanes", None)
 
     def total_cost(theta):
         q_flat = theta[..., :d].reshape((-1, d))
-        r = (residual_fn(q_flat) if batched
-             else jax.vmap(residual_fn)(q_flat))
-        coll = 0.5 * lam * jnp.sum(
-            jnp.square(r).reshape(theta.shape[:-2] + (-1,)), axis=-1)
+        if cost_lanes is not None:
+            c = cost_lanes(q_flat.T)
+            coll = lam * jnp.sum(
+                c.reshape(theta.shape[:-2] + (-1,)), axis=-1)
+        else:
+            r = (residual_fn(q_flat) if batched
+                 else jax.vmap(residual_fn)(q_flat))
+            coll = 0.5 * lam * jnp.sum(
+                jnp.square(r).reshape(theta.shape[:-2] + (-1,)), axis=-1)
         return coll + _gp_energy(theta, start_state, goal_state, params)
 
     H = theta0.shape[-2]

@@ -270,10 +270,19 @@ class PlanningTask:
             # fn dispatches back to the XLA graph per call off-TPU
             from ..ops.lanes_fk import (lanes_supported_scene,
                                         obstacle_terms_lanes_factory)
-            from ..ops.pallas_terms import obstacle_terms_pallas_factory
+            from ..ops.pallas_terms import (collision_cost_pallas_factory,
+                                            obstacle_terms_pallas_factory)
             if lanes_supported_scene(self.df_obj_list):
                 lanes_terms = (obstacle_terms_pallas_factory(self)
                                or obstacle_terms_lanes_factory(self))
+                # forward-only per-waypoint cost kernel (no Jacobians):
+                # the sampling/line-search solvers score candidates with
+                # cost VALUES only — q_cols (d, N) -> 0.5 sum r^2 (N,),
+                # unscaled.  NOT differentiable (pallas); solvers needing
+                # gradients use obstacle_terms_lanes.
+                cost_lanes = collision_cost_pallas_factory(self)
+                if cost_lanes is not None:
+                    residuals.collision_cost_lanes = cost_lanes
                 if lanes_terms is not None:
                     residuals.obstacle_terms_lanes = lanes_terms
 
