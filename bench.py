@@ -14,7 +14,10 @@ against the per-chip share.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +37,50 @@ TARGET_PER_CHIP = 1000.0 / 16.0
 # no number, so the round-1 measured value is the recorded baseline the
 # metric is compared against
 FK_BASELINE_PER_CHIP = 1_464_273.0
+
+# backend-probe bounds: round-4's driver bench died at axon backend init
+# with a transient UNAVAILABLE (BENCH_r04.json rc=1) — probe in a
+# subprocess (isolates hangs: a judge-side bare jax.devices() was seen to
+# hang >120 s) and retry before building any graphs
+PROBE_TIMEOUT_S = 240
+PROBE_ATTEMPTS = 3
+PROBE_RETRY_SLEEP_S = 45
+
+
+def _fail(stage: str, err: str) -> None:
+    """Emit a structured JSON error line (driver artifact stays parseable)."""
+    print(json.dumps({
+        "metric": "panda_mpc_solves_per_s_per_chip",
+        "value": None,
+        "unit": "solves/s/chip",
+        "vs_baseline": None,
+        "error": "%s: %s" % (stage, err[-2000:]),
+    }))
+    sys.exit(1)
+
+
+def probe_backend() -> None:
+    """Bounded, retried backend-availability probe in a subprocess.
+
+    A hung or UNAVAILABLE accelerator runtime surfaces here as a clean
+    structured failure (or a recovery after retry) instead of an unbounded
+    hang / raw traceback at the first eager dispatch in main().
+    """
+    last = ""
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print('OK', len(d))"],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+            if r.returncode == 0 and "OK" in r.stdout:
+                return
+            last = (r.stderr or r.stdout or "").strip()
+        except subprocess.TimeoutExpired:
+            last = "backend probe timed out after %ds" % PROBE_TIMEOUT_S
+        if attempt < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_RETRY_SLEEP_S)
+    _fail("backend_probe", last)
 
 
 def main():
@@ -179,4 +226,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    probe_backend()
+    try:
+        main()
+    except Exception:  # noqa: BLE001 — structured artifact over raw traceback
+        _fail("bench", traceback.format_exc())
