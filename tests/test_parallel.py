@@ -4,11 +4,17 @@ import numpy as np
 import pytest
 
 from torch_robotics_tpu.envs import EnvDense2D
-from torch_robotics_tpu.parallel import (make_mesh, mpc_rollout_sharded,
-                                         shard_batch, solve_sharded)
+from torch_robotics_tpu.parallel import (chomp_solve_sharded,
+                                         ilqr_solve_sharded, make_mesh,
+                                         mpc_rollout_sharded,
+                                         sgpmp_solve_sharded, shard_batch,
+                                         shard_batch_padded, solve_sharded)
 from torch_robotics_tpu.robots import RobotPointMass
 from torch_robotics_tpu.solve import GPMP2Params, gpmp2_init_trajs, gpmp2_solve
+from torch_robotics_tpu.solve.chomp import CHOMPParams, chomp_solve
+from torch_robotics_tpu.solve.ilqr import ILQRParams, ilqr_solve
 from torch_robotics_tpu.solve.mpc import MPCParams, mpc_rollout
+from torch_robotics_tpu.solve.sampling import SGPMPParams
 from torch_robotics_tpu.tasks import PlanningTask
 
 
@@ -116,3 +122,108 @@ def test_mpc_rollout_sharded_chunked_matches_unchunked(setup):
     np.testing.assert_allclose(np.asarray(xs_ch), np.asarray(xs_un),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(frac_ch), float(frac_un), atol=1e-6)
+
+
+def _endpoint_batch(B, key=jax.random.PRNGKey(7)):
+    delta = 0.05 * jax.random.normal(key, (B, 2))
+    start_q = jnp.array([-0.9, -0.9]) + delta
+    goal_q = jnp.array([0.9, 0.9]) - delta
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)], -1)
+    goal = jnp.concatenate([goal_q, jnp.zeros_like(goal_q)], -1)
+    return start, goal
+
+
+def test_ilqr_sharded_matches_single_device(setup):
+    task, _ = setup
+    mesh = make_mesh()
+    params = ILQRParams(n_support_points=16, dt=0.04, opt_iters=5,
+                        sigma_coll=1e-2, sigma_goal_prior=1e-2)
+    start, goal = _endpoint_batch(16)
+    res_plain = ilqr_solve(task.collision_residuals, start, goal, params)
+    res_sh, gmean = ilqr_solve_sharded(
+        task.collision_residuals, shard_batch(start, mesh),
+        shard_batch(goal, mesh), params, mesh)
+    np.testing.assert_allclose(np.asarray(res_sh.trajs),
+                               np.asarray(res_plain.trajs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_sh.cost_trace),
+                               np.asarray(res_plain.cost_trace),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(gmean), float(res_plain.costs.mean()),
+                               rtol=1e-5)
+
+
+def test_ilqr_sharded_optionals_padded_chunked(setup):
+    """q_limits replicated + warm-start controls sharded + uneven batch via
+    shard_batch_padded + per-device chunking, all at once."""
+    task, _ = setup
+    mesh = make_mesh()
+    robot = task.robot
+    params = ILQRParams(n_support_points=16, dt=0.04, opt_iters=3,
+                        sigma_coll=1e-2, sigma_goal_prior=1e-2,
+                        sigma_limits=1e-1)
+    B_odd = 13
+    start, goal = _endpoint_batch(B_odd)
+    u0 = jnp.zeros((B_odd, 15, 2))
+    qlim = (robot.q_min, robot.q_max)
+    res_plain = ilqr_solve(task.collision_residuals, start, goal, params,
+                           u_init=u0, q_limits=qlim)
+    s_p, n_valid = shard_batch_padded(start, mesh)
+    g_p, _ = shard_batch_padded(goal, mesh)
+    u_p, _ = shard_batch_padded(u0, mesh)
+    res_sh, gmean = ilqr_solve_sharded(
+        task.collision_residuals, s_p, g_p, params, mesh, u_init=u_p,
+        q_limits=qlim, n_valid=n_valid, chunk=1)
+    np.testing.assert_allclose(np.asarray(res_sh.trajs[:B_odd]),
+                               np.asarray(res_plain.trajs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(gmean), float(res_plain.costs.mean()),
+                               rtol=1e-5)
+
+
+def test_chomp_sharded_matches_single_device(setup):
+    task, gparams = setup
+    mesh = make_mesh()
+    params = CHOMPParams(n_support_points=16, dt=0.04, opt_iters=10,
+                         sigma_coll=1e-2)
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(1), gparams, start, goal,
+                              num_samples=16)
+    res_plain = chomp_solve(task.collision_residuals, theta0, start, goal,
+                            params)
+    res_sh, gmean = chomp_solve_sharded(
+        task.collision_residuals, shard_batch(theta0, mesh), start, goal,
+        params, mesh)
+    np.testing.assert_allclose(np.asarray(res_sh.trajs),
+                               np.asarray(res_plain.trajs),
+                               rtol=1e-5, atol=1e-5)
+    # CHOMP's trace is batch-summed; the sharded one is psum'd over devices
+    np.testing.assert_allclose(np.asarray(res_sh.cost_trace),
+                               np.asarray(res_plain.cost_trace),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(gmean), float(res_plain.cost_trace[-1]) / 16, rtol=1e-4)
+
+
+def test_sgpmp_sharded_converges(setup):
+    """sGPMP draws independent per-device streams (fold_in(axis_index)) —
+    statistically equivalent, not bitwise: assert shape, finiteness, and
+    that optimization made progress on every problem."""
+    task, gparams = setup
+    mesh = make_mesh()
+    params = SGPMPParams(n_support_points=16, dt=0.04, opt_iters=10,
+                         num_samples=8, sigma_coll=1e-2,
+                         sigma_gp_sample=0.05)
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(2), gparams, start, goal,
+                              num_samples=16)
+    res_sh, gmean = sgpmp_solve_sharded(
+        task.collision_residuals, shard_batch(theta0, mesh), start, goal,
+        params, mesh, key=jax.random.PRNGKey(3))
+    assert res_sh.trajs.shape == (16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(res_sh.trajs)))
+    assert res_sh.cost_trace.shape == (10, 16)
+    assert bool(jnp.isfinite(gmean))
+    assert bool(jnp.all(res_sh.cost_trace[-1] <= res_sh.cost_trace[0]))

@@ -19,7 +19,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "shard_batch_padded", "replicate",
-           "multihost_init", "solve_sharded", "mpc_rollout_sharded"]
+           "multihost_init", "solve_sharded", "mpc_rollout_sharded",
+           "ilqr_solve_sharded", "sgpmp_solve_sharded",
+           "chomp_solve_sharded"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch",
@@ -184,3 +186,245 @@ def mpc_rollout_sharded(residual_fn, start_state, goal_state, params, n_steps,
                                    None if chunk is None else int(chunk))
     xs, frac = _run(start_state, goal_state)
     return xs, frac[0]
+
+
+def _masked_mean(costs, axis_name, n_valid):
+    """psum-reduced global mean of per-problem costs, excluding padded rows
+    (shard_batch_padded) when ``n_valid`` is set."""
+    local_B = costs.shape[0]
+    if n_valid is not None:
+        row0 = jax.lax.axis_index(axis_name) * local_B
+        valid = ((row0 + jnp.arange(local_B)) < n_valid).astype(costs.dtype)
+    else:
+        valid = jnp.ones_like(costs)
+    return (jax.lax.psum(jnp.sum(costs * valid), axis_name)
+            / jax.lax.psum(jnp.sum(valid), axis_name))
+
+
+def _chunked(body, args, chunk):
+    """Run ``body`` over the per-device share as sequential knee-sized
+    chunks (lax.map) when the share exceeds ``chunk`` and divides evenly;
+    otherwise one call.  ``body`` takes/returns pytrees with the local
+    batch in the LEADING axis of every leaf."""
+    B_l = jax.tree_util.tree_leaves(args)[0].shape[0]
+    if chunk and B_l > chunk and B_l % chunk == 0:
+        n_c = B_l // chunk
+        rs = jax.lax.map(
+            body, jax.tree_util.tree_map(
+                lambda a: a.reshape((n_c, chunk) + a.shape[1:]), args))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B_l,) + x.shape[2:]), rs)
+    return body(args)
+
+
+# iLQR/sGPMP/CHOMP sharded wrappers follow the same contract as
+# solve_sharded: batch-leading operands sharded over the mesh axis,
+# model/env constants replicated (broadcast inside jit), the per-problem
+# result carried back with the same sharding, and ONE psum-reduced global
+# statistic (mean final cost) over ICI.  Results with a leading
+# non-batch axis (cost_trace: (iters, B)) are emitted batch-leading
+# inside the mapped body and transposed outside — shard_map out_specs
+# stay uniform P(axis_name) on every leaf.
+
+@lru_cache(maxsize=64)
+def _ilqr_sharded_fn(residual_fn, params, mesh, axis_name, has_u0, has_ref,
+                     has_qlim, n_valid, chunk):
+    from ..solve.ilqr import ilqr_solve
+
+    in_specs = [P(axis_name), P(axis_name)]
+    if has_u0:
+        in_specs.append(P(axis_name))
+    if has_ref:
+        in_specs.append(P(axis_name))
+    if has_qlim:
+        in_specs.append(P())
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=tuple(in_specs),
+             out_specs=((P(axis_name), P(axis_name), P(axis_name),
+                         P(axis_name)), P()))
+    def _solve(*ops):
+        it = iter(ops)
+        start_l, goal_l = next(it), next(it)
+        u0_l = next(it) if has_u0 else None
+        ref_l = next(it) if has_ref else None
+        qlim = next(it) if has_qlim else None
+
+        # optional operands ride the chunked tree as tiny dummies so the
+        # tree structure (and the chunk reshape) stays uniform
+        B_l = start_l.shape[0]
+        u0_a = u0_l if has_u0 else jnp.zeros((B_l, 1), start_l.dtype)
+        ref_a = ref_l if has_ref else jnp.zeros((B_l, 1), start_l.dtype)
+
+        def body(a):
+            s, g, u0, ref = a
+            r = ilqr_solve(residual_fn, s, g, params,
+                           u_init=u0 if has_u0 else None,
+                           x_ref=ref if has_ref else None,
+                           q_limits=None if qlim is None
+                           else (qlim[0], qlim[1]))
+            # batch-leading cost trace for uniform out sharding
+            return (r.trajs, r.controls, r.costs,
+                    jnp.moveaxis(r.cost_trace, 0, 1))
+
+        trajs, controls, costs, trace_b = _chunked(
+            body, (start_l, goal_l, u0_a, ref_a), chunk)
+        return (trajs, controls, costs, trace_b), \
+            _masked_mean(costs, axis_name, n_valid)[None]
+
+    return _solve
+
+
+def ilqr_solve_sharded(residual_fn, start_state, goal_state, params,
+                       mesh: Mesh, axis_name: str = "batch", u_init=None,
+                       x_ref=None, q_limits=None,
+                       n_valid: Optional[int] = None,
+                       chunk: Optional[int] = None):
+    """iLQR solve with the problem batch sharded over the mesh.
+
+    start/goal: (B, 2d) with B divisible by the mesh size (use
+    ``shard_batch_padded`` + ``n_valid`` for uneven batches); optional
+    warm-start controls ``u_init`` (B, H-1, d) and tracking reference
+    ``x_ref`` (B, H, 2d) shard alongside; ``q_limits`` (q_min, q_max) is
+    replicated.  Returns an ``ILQRResult`` (same sharding) plus the global
+    mean final cost (psum over ICI, padded rows excluded).
+
+    ``chunk``: per-device shares larger than this run as sequential
+    knee-sized chunks (like ``mpc_rollout_sharded``); default None — the
+    iLQR throughput knee is shallow (B=512 is past the GPMP2 knee but iLQR
+    peak-throughput batch is larger; sweep with tools/scaling_bench.py).
+    """
+    from ..solve.ilqr import ILQRResult
+    has_u0, has_ref = u_init is not None, x_ref is not None
+    has_qlim = q_limits is not None
+    _solve = _ilqr_sharded_fn(residual_fn, params, mesh, axis_name, has_u0,
+                              has_ref, has_qlim,
+                              None if n_valid is None else int(n_valid),
+                              None if chunk is None else int(chunk))
+    ops = [start_state, goal_state]
+    if has_u0:
+        ops.append(u_init)
+    if has_ref:
+        ops.append(x_ref)
+    if has_qlim:
+        ops.append(jnp.stack([q_limits[0], q_limits[1]]))
+    (trajs, controls, costs, trace_b), gmean = _solve(*ops)
+    return ILQRResult(trajs=trajs, controls=controls, costs=costs,
+                      cost_trace=jnp.moveaxis(trace_b, 1, 0)), gmean[0]
+
+
+@lru_cache(maxsize=64)
+def _sgpmp_sharded_fn(residual_fn, params, mesh, axis_name,
+                      per_problem_endpoints, n_valid, chunk):
+    from ..solve.sampling import sgpmp_solve
+
+    ep = P(axis_name) if per_problem_endpoints else P()
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis_name), ep, ep, P()),
+             out_specs=((P(axis_name), P(axis_name)), P()))
+    def _solve(theta0_l, start_l, goal_l, key):
+        # independent per-device sample stream: statistically equivalent
+        # to (not bitwise-identical with) the unsharded solve
+        key_l = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def body(a):
+            th, s, g = a
+            r = sgpmp_solve(residual_fn, th, s, g, params, key=key_l)
+            return r.trajs, jnp.moveaxis(r.cost_trace, 0, 1)
+
+        B_l = theta0_l.shape[0]
+        s_b = (start_l if per_problem_endpoints
+               else jnp.broadcast_to(start_l, (B_l,) + start_l.shape))
+        g_b = (goal_l if per_problem_endpoints
+               else jnp.broadcast_to(goal_l, (B_l,) + goal_l.shape))
+        trajs, trace_b = _chunked(body, (theta0_l, s_b, g_b), chunk)
+        costs = trace_b[:, -1]
+        return (trajs, trace_b), _masked_mean(costs, axis_name, n_valid)[None]
+
+    return _solve
+
+
+def sgpmp_solve_sharded(residual_fn, theta0, start_state, goal_state, params,
+                        mesh: Mesh, key=None, axis_name: str = "batch",
+                        n_valid: Optional[int] = None,
+                        chunk: Optional[int] = None):
+    """Stochastic GPMP solve sharded over the mesh.
+
+    Each device draws an independent perturbation stream
+    (``fold_in(key, axis_index)``) — results are statistically equivalent
+    to, not bitwise-identical with, the unsharded solve.  Returns an
+    ``SGPMPResult`` plus the psum-reduced global mean final cost.
+    """
+    from ..solve.sampling import SGPMPResult
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    _solve = _sgpmp_sharded_fn(residual_fn, params, mesh, axis_name,
+                               start_state.ndim > 1,
+                               None if n_valid is None else int(n_valid),
+                               None if chunk is None else int(chunk))
+    (trajs, trace_b), gmean = _solve(theta0, start_state, goal_state, key)
+    return SGPMPResult(trajs=trajs,
+                       cost_trace=jnp.moveaxis(trace_b, 1, 0)), gmean[0]
+
+
+@lru_cache(maxsize=64)
+def _chomp_sharded_fn(residual_fn, params, mesh, axis_name,
+                      per_problem_endpoints, n_valid, chunk):
+    from ..solve.chomp import chomp_solve
+
+    ep = P(axis_name) if per_problem_endpoints else P()
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name), ep, ep),
+             out_specs=((P(axis_name), P()), P()))
+    def _solve(theta0_l, start_l, goal_l):
+        B_l = theta0_l.shape[0]
+        s_b = (start_l if per_problem_endpoints
+               else jnp.broadcast_to(start_l, (B_l,) + start_l.shape))
+        g_b = (goal_l if per_problem_endpoints
+               else jnp.broadcast_to(goal_l, (B_l,) + goal_l.shape))
+
+        def body(a):
+            th, s, g = a
+            r = chomp_solve(residual_fn, th, s, g, params)
+            # CHOMP's cost_trace is batch-SUMMED per iteration (iters,)
+            return r.trajs, r.cost_trace
+
+        if chunk and B_l > chunk and B_l % chunk == 0:
+            n_c = B_l // chunk
+            trajs, trace_c = jax.lax.map(
+                body, jax.tree_util.tree_map(
+                    lambda a: a.reshape((n_c, chunk) + a.shape[1:]),
+                    (theta0_l, s_b, g_b)))
+            trajs = trajs.reshape((B_l,) + trajs.shape[2:])
+            trace_l = jnp.sum(trace_c, axis=0)
+        else:
+            trajs, trace_l = body((theta0_l, s_b, g_b))
+        # global trace: psum of the per-device batch sums over ICI
+        trace_g = jax.lax.psum(trace_l, axis_name)
+        return (trajs, trace_g), trace_g[-1:]
+
+    return _solve
+
+
+def chomp_solve_sharded(residual_fn, theta0, start_state, goal_state, params,
+                        mesh: Mesh, axis_name: str = "batch",
+                        n_valid: Optional[int] = None,
+                        chunk: Optional[int] = None):
+    """CHOMP solve sharded over the mesh (deterministic: bitwise-matches
+    the unsharded solve per problem).  Returns a ``CHOMPResult`` whose
+    ``cost_trace`` keeps CHOMP's batch-summed (iters,) semantics, psum'd
+    across devices, plus the global mean final cost per problem.  With a
+    padded batch (``n_valid``) the padded rows repeat the last valid
+    problem, so the summed trace counts those duplicates; the returned
+    mean divides by the TOTAL row count, matching that sum."""
+    from ..solve.chomp import CHOMPResult
+    _solve = _chomp_sharded_fn(residual_fn, params, mesh, axis_name,
+                               start_state.ndim > 1,
+                               None if n_valid is None else int(n_valid),
+                               None if chunk is None else int(chunk))
+    (trajs, trace_g), gsum = _solve(theta0, start_state, goal_state)
+    return CHOMPResult(trajs=trajs, cost_trace=trace_g), \
+        gsum[0] / theta0.shape[0]

@@ -449,7 +449,12 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
         cost_n = jnp.where(improved, cost_b, cost)
         return (xs_n, U_n, cost_n), cost_n
 
-    U0 = jnp.zeros((B, H - 1, d), dtype) if u_init is None else u_init
+    # derive the zero init from x0 (0*x0 term), not a fresh constant:
+    # under shard_map, lax.scan's varying-axis tracking rejects a carry
+    # whose input is unvarying but whose output is device-varying
+    # (CLAUDE.md lesson 8)
+    U0 = (jnp.zeros((B, H - 1, d), dtype) + 0.0 * x0[:, None, :d]
+          if u_init is None else u_init)
     xs0 = _rollout(x0, jnp.moveaxis(U0, 1, 0), Phi, Bm)
     cost0 = total_cost(xs0, U0)
     (xs, U, cost), trace = jax.lax.scan(
