@@ -109,7 +109,28 @@ def main():
     limits = (robot.q_min, robot.q_max)
     solve = jax.jit(lambda s, g: ilqr_solve(task.collision_residuals, s, g, p,
                                             q_limits=limits))
-    dt_s, res = timed_fetch(solve, start, goal)
+    _, res = timed_fetch(solve, start, goal)
+
+    # throughput via CHAINED solves (difference two chain lengths inside one
+    # dispatch): timed_fetch bills the fixed dispatch + axon tunnel RTT to
+    # the solve — profiled round 5 as ~22 ms/solve of pure timing artifact
+    # (chained per-iteration cost is ~1.5 ms with a ~0 intercept: 2.72 /
+    # 15.41 / 45.55 ms/solve at 2/10/30 iters), the same trap CLAUDE.md
+    # documents for block_until_ready
+    def chain(M):
+        @jax.jit
+        def run(s):
+            def body(ss, _):
+                r = ilqr_solve(task.collision_residuals, ss, goal, p,
+                               q_limits=limits)
+                return ss + EPS * r.costs[:, None], None
+            ss, _ = jax.lax.scan(body, s, None, length=M)
+            return ss[0, 0]
+        return run
+
+    t_lo, _ = timed_fetch(chain(1), start)
+    t_hi, _ = timed_fetch(chain(3), start)
+    dt_s = (t_hi - t_lo) / 2
     frac_free = task.compute_fraction_free_trajs(res.trajs)
     goal_dist = float(jnp.linalg.norm(
         res.trajs[:, -1, :d] - goal[:, :d], axis=-1).mean())

@@ -60,12 +60,49 @@ def test_pallas_terms_gating():
     task_net = PlanningTask(env=EnvSpheres3D(), robot=robot_net,
                             obstacle_cutoff_margin=0.03)
     assert obstacle_terms_pallas_factory(task_net) is None
-    # grid-SDF scene -> no fused path (gathers)
+
+
+def test_pallas_terms_grid_scene_interpret_matches_xla():
+    """Grid-SDF scenes take the SPLIT pipeline: XLA performs the packed-row
+    (sdf, grad) gather (the measured ~7-11 ns/row floor Pallas cannot
+    beat), the kernel consumes the gathered rows as inputs and fuses
+    FK + Jacobians + hinge + assembly around them.  Must match the XLA
+    lanes path (which shares the gather + surrogate-gradient semantics,
+    reference grid_map_sdf.py:84-114)."""
     env_grid = EnvSpheres3D(precompute_sdf_obj_fixed=True,
                             sdf_cell_size=0.05)
-    task_grid = PlanningTask(env=env_grid, robot=RobotPanda.create(),
+    robot = RobotPanda.create()
+    task_grid = PlanningTask(env=env_grid, robot=robot,
                              obstacle_cutoff_margin=0.03)
-    assert obstacle_terms_pallas_factory(task_grid) is None
+    t_pal = obstacle_terms_pallas_factory(task_grid)
+    assert t_pal is not None
+    t_xla = obstacle_terms_lanes_factory(task_grid)
+    q = _rand_q(robot, 32, seed=11)
+    for h in (None, 8):
+        a = t_xla(q, 77.0, h=h)
+        b = t_pal(q, 77.0, h=h, interpret=True)
+        for x, y in zip(a, b):
+            scale = float(jnp.abs(x).max()) + 1e-30
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=3e-5 * scale, rtol=2e-5)
+
+
+def test_cost_kernel_grid_scene_interpret_matches_terms():
+    from torch_robotics_tpu.ops.pallas_terms import (
+        collision_cost_pallas_factory)
+    env_grid = EnvSpheres3D(precompute_sdf_obj_fixed=True,
+                            sdf_cell_size=0.05)
+    robot = RobotPanda.create()
+    task_grid = PlanningTask(env=env_grid, robot=robot,
+                             obstacle_cutoff_margin=0.03)
+    c_pal = collision_cost_pallas_factory(task_grid)
+    assert c_pal is not None
+    q = _rand_q(robot, 16, seed=13)
+    ref = obstacle_terms_lanes_factory(task_grid)(q, 1.0)[2]
+    got = c_pal(q, interpret=True)
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5 * scale, rtol=2e-5)
 
 
 def test_pallas_terms_cpu_dispatch_equals_xla():

@@ -111,3 +111,43 @@ def test_extra_objects_cost():
     assert float(cost[0]) > float(cost[1])
     # total cost includes the extra objects (df list has fixed + extra)
     assert len(task.df_obj_list) == 2
+
+
+def test_rbf_field_type(task_panda):
+    """'rbf' field-type cost: exact recomputation of the reference formulas
+    (distance_fields.py:187-192 object rbf exp(-sdf^2/(2 m^2)) summed over
+    objects+points; :274-278 pairwise-point matrix; dispatched per
+    :110-112) against an independent numpy evaluation."""
+    import numpy as np
+
+    from torch_robotics_tpu.costs import (object_collision_rbf,
+                                          object_signed_distances,
+                                          self_collision_rbf)
+
+    robot = task_panda.robot
+    q = jnp.stack([0.3 * (robot.q_min + robot.q_max),
+                   0.5 * (robot.q_min + robot.q_max)])
+    x = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+    m = float(task_panda.obstacle_cutoff_margin)
+
+    cost = task_panda.compute_collision_cost(x, field_type="rbf")
+    assert cost.shape == (2,)
+    assert bool(jnp.all(cost > 0))          # diagonal terms alone are >= P
+
+    obj_pts, self_pts = task_panda._collision_points(q)
+    sd = np.asarray(object_signed_distances(task_panda.df_obj_list, obj_pts))
+    ref_obj = np.exp(np.square(sd) / (-2.0 * m * m)).sum(axis=(-1, -2))
+    np.testing.assert_allclose(
+        np.asarray(object_collision_rbf(task_panda.df_obj_list, obj_pts, m)),
+        ref_obj, rtol=1e-6)
+    p = np.asarray(self_pts)
+    d2 = np.square(p[:, :, None, :] - p[:, None, :, :]).sum(-1)
+    ref_self = np.exp(d2 / (-2.0 * m * m)).sum(axis=(-1, -2))
+    np.testing.assert_allclose(np.asarray(self_collision_rbf(self_pts, m)),
+                               ref_self, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cost), ref_obj + ref_self,
+                               rtol=1e-6)
+    # occupancy dispatch parity with compute_collision
+    occ = task_panda.compute_collision_cost(x, field_type="occupancy")
+    np.testing.assert_array_equal(np.asarray(occ) > 0.5,
+                                  np.asarray(task_panda.compute_collision(x)))

@@ -30,10 +30,10 @@ from ..core.se3 import SE3_distance
 
 __all__ = [
     "interpolate_points", "interpolate_points_v2", "object_signed_distances",
-    "object_collision_cost", "object_collision_any",
+    "object_collision_cost", "object_collision_any", "object_collision_rbf",
     "self_collision_distances", "self_collision_cost", "self_collision_any",
-    "workspace_bounds_distances", "workspace_bounds_cost",
-    "workspace_bounds_any", "ee_se3_cost",
+    "self_collision_rbf", "workspace_bounds_distances",
+    "workspace_bounds_cost", "workspace_bounds_any", "ee_se3_cost",
 ]
 
 
@@ -119,6 +119,23 @@ def object_collision_any(df_obj_list, points, margins, cutoff_margin=0.0):
     return jnp.any(jnp.any(coll, axis=-1), axis=-1)
 
 
+def object_collision_rbf(df_obj_list, points, margin):
+    """'rbf' field-type obstacle cost: exp(-sdf(x)^2 / (2 margin^2)) summed
+    over objects and points.
+
+    The reference dispatches this third field type in
+    ``compute_embodiment_cost`` (distance_fields.py:110-112) with the
+    object-field formula at distance_fields.py:274-278 — dormant there (the
+    method body opens with ``raise NotImplementedError``); revived here
+    with the documented math, like ``core/manifold.py``.  A smooth
+    occupancy surrogate: 1 on the surface, decaying over ``margin``.
+    points: (..., P, dim), margin: scalar -> (...)
+    """
+    sd = object_signed_distances(df_obj_list, points)
+    rbf = jnp.exp(jnp.square(sd) / (-2.0 * margin ** 2))
+    return jnp.sum(rbf, axis=(-1, -2))
+
+
 # ----------------------------------------------------------------------------
 # Self collision
 # ----------------------------------------------------------------------------
@@ -149,6 +166,22 @@ def self_collision_cost(points, pair_idxs, margins, clamp=False):
 def self_collision_any(points, pair_idxs, margins):
     d = self_collision_distances(points, pair_idxs)
     return jnp.any(d < margins, axis=-1)
+
+
+def self_collision_rbf(points, margin):
+    """'rbf' field-type self-collision cost: the full P x P matrix of
+    exp(-||p_i - p_j||^2 / (2 margin^2)) summed over both axes (reference
+    formula distance_fields.py:187-192, dormant there behind a
+    ``raise NotImplementedError``; summation per
+    ``compute_embodiment_cost``, distance_fields.py:110-112).  Includes
+    the diagonal (each point contributes a constant 1) exactly like the
+    reference expression.
+    points: (..., P, d), margin: scalar -> (...)
+    """
+    diff = points[..., :, None, :] - points[..., None, :, :]
+    d2 = jnp.sum(jnp.square(diff), axis=-1)
+    rbf = jnp.exp(d2 / (-2.0 * margin ** 2))
+    return jnp.sum(rbf, axis=(-1, -2))
 
 
 # ----------------------------------------------------------------------------

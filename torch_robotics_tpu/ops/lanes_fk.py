@@ -352,6 +352,37 @@ def _grid_sdf_value_lanes(grid, pts3):
     return grid.sdf_grid.reshape(-1)[flat]
 
 
+def _grid_sdf_lanes_multi(grid, pts_list):
+    """Packed-row (sdf, grad) lookup for a LIST of lane-layout points in
+    ONE gather: P points of (N,) lanes -> vals (P, N), grads (P, dim, N).
+
+    TPU gathers run at a flat ~7-11 ns/row regardless of row width
+    (CLAUDE.md lesson 12), so batching all P points' indices into a single
+    (P*N, 1+dim) row gather costs the same per row as the per-point form
+    but issues once — this is the XLA stage of the grid-scene fused-terms
+    split pipeline (ops/pallas_terms.py): the gather stays in XLA (Mosaic
+    has no vector gather), the hinge+assembly tail runs in the kernel.
+    """
+    dim = grid.dim
+    P = len(pts_list)
+    N = pts_list[0][0].shape[-1]
+    flat = jnp.stack([_grid_cell_index(grid, p) for p in pts_list])  # (P, N)
+    packed = jnp.concatenate(
+        [grid.sdf_grid.reshape(-1, 1), grid.grad_grid.reshape(-1, dim)],
+        axis=-1)                                        # (C, 1 + dim)
+    rows = packed[flat.reshape(-1)].reshape(P, N, 1 + dim)
+    vals = rows[:, :, 0]                                # (P, N)
+    grads = jnp.moveaxis(rows[:, :, 1:], -1, 1)         # (P, dim, N)
+    return vals, grads
+
+
+def _grid_sdf_value_lanes_multi(grid, pts_list):
+    """Value-only variant of ``_grid_sdf_lanes_multi``: (P, N) SDF values
+    via one flat gather (the forward-only cost kernel's XLA stage)."""
+    flat = jnp.stack([_grid_cell_index(grid, p) for p in pts_list])
+    return grid.sdf_grid.reshape(-1)[flat.reshape(-1)].reshape(flat.shape)
+
+
 def sdf_and_grad_lanes(df_obj_list, pts3, ws_dim):
     """(min-over-objects SDF, its gradient) in SoA.
 
@@ -459,8 +490,11 @@ def obstacle_terms_lanes_factory(task):
         if _MULTIROBOT_STRUCTURED:
             # block-structured fast path (member-width Jacobians, per-block
             # Hessian reduction); this padded generic branch is kept for
-            # the A/B benchmark
-            return obstacle_terms_lanes_multirobot_factory(task)
+            # the A/B benchmark AND as the fallback when the structured
+            # assembly declines the pair list (same-member mutual pairs)
+            t = obstacle_terms_lanes_multirobot_factory(task, strict=False)
+            if t is not None:
+                return t
         members = robot.robots
         d_offsets = np.cumsum([0] + [r.q_dim for r in members])
 
@@ -822,8 +856,15 @@ _MULTIROBOT_STRUCTURED = True
 _ASSEMBLY_BARRIER = True
 
 
-def obstacle_terms_lanes_multirobot_factory(task):
+def obstacle_terms_lanes_multirobot_factory(task, strict=True):
     """Block-structured GN obstacle terms for a ``MultiRobot`` task.
+
+    ``strict``: a same-member mutual pair (unsupported by this assembly)
+    raises when True (the direct/forced-path contract); with False the
+    factory warns and returns None so ``obstacle_terms_lanes_factory`` can
+    fall back to the generic padded assembly, which handles i == j
+    correctly — task construction with a custom pair list keeps working at
+    the cost of the fast path.
 
     The generic path pads every collision point's Jacobian to the full
     d_total columns (config 4: 2/3 structural zeros — each point moves with
@@ -879,10 +920,18 @@ def obstacle_terms_lanes_multirobot_factory(task):
                 # members (the 'elif b == i' gradient branch and the
                 # cross-block stitch are wrong for i == j); same-member
                 # pairs belong in the member's self section
-                raise ValueError(
-                    "mutual pair (%d, %d) indexes object points of the same "
-                    "member %d; encode same-member pairs via the member's "
-                    "self-collision section instead" % (pa, pb, i))
+                msg = ("mutual pair (%d, %d) indexes object points of the "
+                       "same member %d; encode same-member pairs via the "
+                       "member's self-collision section instead"
+                       % (pa, pb, i))
+                if strict:
+                    raise ValueError(msg)
+                # task-construction path: the generic padded assembly is
+                # correct for i == j — lose only the structured fast path
+                import warnings
+                warnings.warn(msg + " (falling back to the generic padded "
+                              "assembly)", stacklevel=2)
+                return None
             mutual_groups.setdefault((i, j), []).append(
                 (pa - obj_offsets[i], pb - obj_offsets[j], mg))
 

@@ -79,17 +79,26 @@ class StaticModel:
 
 
 def _scalarize_scene(df_obj_list):
-    """ObjectFields -> (spec, flat_arrays) where spec is
-    [(Rm 3x3 nested float tuple, pos float tuple, dim,
-    [(kind, n_arrays)])] and flat_arrays the groups' primitive tables in
-    order (passed as kernel INPUTS — Pallas cannot capture non-scalar
-    constants), or None if the scene has non-analytic fields (grid SDFs
-    need gathers, which Mosaic does not vectorize)."""
+    """Scene split for the fused kernel: -> (spec, flat_arrays, grids).
+
+    ``spec`` is [(Rm 3x3 nested float tuple, pos float tuple, dim,
+    [(kind, n_arrays)])] for the ANALYTIC ObjectFields and ``flat_arrays``
+    their primitive tables in order (passed as kernel INPUTS — Pallas
+    cannot capture non-scalar constants).  ``grids`` collects the scene's
+    ``GridSDF`` fields: grid lookups are gathers, which Mosaic does not
+    vectorize (CLAUDE.md lesson 12), so they run in an XLA pre-stage
+    (``_grid_sdf_lanes_multi``) whose packed (val, grad) rows enter the
+    kernel as inputs.  Returns None if the scene has any other field type.
+    """
     from ..core.quaternion import q_to_rotation_matrix
+    from ..geom.grid_sdf import GridSDF
     from ..geom.sdf import ObjectField, RoundedBoxes, SharpBoxes, Spheres
 
-    spec, flat = [], []
+    spec, flat, grids = [], [], []
     for obj in df_obj_list:
+        if isinstance(obj, GridSDF):
+            grids.append(obj)
+            continue
         if not isinstance(obj, ObjectField):
             return None
         Rm = np.asarray(q_to_rotation_matrix(obj.ori), np.float64)
@@ -114,7 +123,7 @@ def _scalarize_scene(df_obj_list):
         spec.append((tuple(tuple(float(Rm[i, j]) for j in range(3))
                            for i in range(3)),
                      tuple(float(p) for p in pos), obj.dim, groups))
-    return spec, flat
+    return spec, flat, grids
 
 
 def _rebuild_scene(spec, vals):
@@ -154,6 +163,62 @@ def _static_scene_sdf(scene, pts3):
     return out
 
 
+def _point_val_grad(scene, extras, mi, x, ws_dim):
+    """Combined scene (SDF value, gradient) at object point ``mi``.
+
+    Analytic objects: one vjp through the in-kernel min-SDF chain.  Grid
+    fields: rows ``mi*(1+ws_dim) .. +ws_dim`` of the XLA-gathered packed
+    (val, grad) inputs in ``extras`` (one (P*(1+ws_dim), TN) array per
+    grid).  Per-element strict-less selection across fields like the XLA
+    path (``lanes_fk.sdf_and_grad_lanes``); within the analytic group the
+    single vjp-of-min resolves ties by jnp.minimum's subgradient — tie
+    semantics across interleaved analytic/grid orderings may differ on
+    exactly-equal SDF values (measure-zero)."""
+    best_v, best_g = None, None
+    if scene:
+        val, vjp = jax.vjp(lambda xy: _static_scene_sdf(scene, xy), x)
+        best_v, best_g = val, list(vjp(jnp.ones_like(val))[0])
+    base = mi * (1 + ws_dim)
+    for gv in extras:
+        v = gv[base]
+        g = [gv[base + 1 + k] for k in range(ws_dim)]
+        if best_v is None:
+            best_v, best_g = v, g
+        else:
+            take = v < best_v
+            best_g = [jnp.where(take, gn, go)
+                      for gn, go in zip(g, best_g)]
+            best_v = jnp.minimum(best_v, v)
+    return best_v, tuple(best_g)
+
+
+def _grid_extras_fn(grids, obj_pts_fn, ws_dim, values_only=False):
+    """XLA pre-stage of the grid split pipeline: q_cols -> one packed
+    lanes array per grid field, ready to enter the kernel as an input.
+
+    Each grid contributes (P*(1+ws_dim), N) rows (point-major: val then
+    grad components) — or (P, N) values when ``values_only`` (the
+    forward-only cost kernel needs no gradients).  The gather itself is
+    XLA's: it runs at the measured ~7-11 ns/row floor that Pallas cannot
+    beat (CLAUDE.md lesson 12)."""
+    from .lanes_fk import _grid_sdf_lanes_multi, _grid_sdf_value_lanes_multi
+
+    def extras_fn(q_cols):
+        pts = obj_pts_fn(q_cols)
+        arrays = []
+        for grid in grids:
+            if values_only:
+                arrays.append(_grid_sdf_value_lanes_multi(grid, pts))
+                continue
+            vals, grads = _grid_sdf_lanes_multi(grid, pts)
+            packed = jnp.concatenate(
+                [vals[:, None], grads[:, :ws_dim]], axis=1)
+            arrays.append(packed.reshape(-1, vals.shape[-1]))
+        return arrays
+
+    return extras_fn
+
+
 def obstacle_terms_pallas_factory(task):
     """Fused-kernel GN obstacle terms for a single-kinematic-model robot in
     an analytic primitive scene.  Same contract as
@@ -170,10 +235,10 @@ def obstacle_terms_pallas_factory(task):
     scal = _scalarize_scene(task.df_obj_list)
     if scal is None:
         return None
-    scene_spec, scene_arrays = scal
+    scene_spec, scene_arrays, grids = scal
     if isinstance(robot, MultiRobot):
         return _multirobot_terms_pallas_factory(task, robot, scene_spec,
-                                                scene_arrays)
+                                                scene_arrays, grids)
     if not hasattr(robot, "model") or robot.object_interpolate:
         return None
     if getattr(robot, "self_collision_net", None) is not None:
@@ -208,7 +273,26 @@ def obstacle_terms_pallas_factory(task):
     self_pos_list = ([link_to_pos[li] for li in self_idxs] + list(
         range(n_used, n_used + grasped_n))) if self_idxs else None
 
-    def _tile_body(q, scene):
+    extras_fn = None
+    if grids:
+        model = robot.model
+
+        def obj_pts_fn(q_cols):
+            """XLA lanes FK -> object collision points, same order as the
+            kernel's obj_pos_list (object links, then grasped points)."""
+            R_w, t_w = fk_lanes(model, q_cols)
+            pts = [t_w[li] for li in obj_idxs]
+            if grasped_n > 0:
+                gi = model.link_index(robot.link_name_grasped_object)
+                for gidx in range(grasped_n):
+                    gp = tuple(float(grasped_pts[gidx, k]) for k in range(3))
+                    w = _matvec3(R_w[gi], gp)
+                    pts.append(tuple(w[k] + t_w[gi][k] for k in range(3)))
+            return pts
+
+        extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim)
+
+    def _tile_body(q, scene, extras):
         """(d, TN) q tile -> (g_q (d, TN), Hqq (d, d, TN), cost (TN,)),
         UNSCALED by lam (g_q = sum r Jr, Hqq = Jr^T Jr, cost = 0.5 sum r^2).
         Pure scalar-chain form: every intermediate is a (TN,) vector."""
@@ -246,11 +330,11 @@ def obstacle_terms_pallas_factory(task):
             rows_r.append(r)
             rows_J.append(cols)
 
-        # --- objects: per-point min-SDF value + gradient (vjp chains) ---
+        # --- objects: per-point min-SDF value + gradient (analytic vjp
+        # chains in-kernel; grid fields from the XLA-gathered extras) ---
         for mi, p in enumerate(obj_pos_list):
             x = pts[p][:ws_dim]
-            val, vjp = jax.vjp(lambda xy: _static_scene_sdf(scene, xy), x)
-            grad = vjp(jnp.ones_like(val))[0]
+            val, grad = _point_val_grad(scene, extras, mi, x, ws_dim)
             add_hinge(float(obj_margins[mi]), val, grad, J[p])
 
         # --- workspace bounds: min-face distance + sign gradient ---
@@ -333,7 +417,8 @@ def obstacle_terms_pallas_factory(task):
                 H_rows[j][i] = ent
         return g_cols, H_rows, cost
 
-    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms)
+    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
+                        extras_fn=extras_fn)
 
 
 def _out_struct(shape, dtype, *operands):
@@ -347,19 +432,24 @@ def _out_struct(shape, dtype, *operands):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
-    """Wrap a tile body ((d, TN) q, scene -> g_cols, H_rows, cost) into the
-    pallas_call + terms-contract dispatcher shared by the single-robot and
-    MultiRobot factories."""
+def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
+                 extras_fn=None):
+    """Wrap a tile body ((d, TN) q, scene, extras -> g_cols, H_rows, cost)
+    into the pallas_call + terms-contract dispatcher shared by the
+    single-robot and MultiRobot factories.  ``extras_fn`` (grid scenes):
+    q_cols -> list of (rows, N) lanes arrays computed in XLA (gathered
+    grid SDF rows) and tiled into the kernel alongside q."""
     m = 2 * d
     n_scene = len(scene_arrays)
 
-    def _kernel(q_ref, *refs):
-        scene_refs = refs[:n_scene]
-        g_ref, h_ref, c_ref = refs[n_scene:]
+    def _kernel(n_extra, q_ref, *refs):
+        extra_refs = refs[:n_extra]
+        scene_refs = refs[n_extra:n_extra + n_scene]
+        g_ref, h_ref, c_ref = refs[n_extra + n_scene:]
         q = q_ref[...]
         scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
-        g_cols, H_rows, cost = _tile_body(q, scene)
+        g_cols, H_rows, cost = _tile_body(q, scene,
+                                          [r[...] for r in extra_refs])
         g_ref[...] = jnp.stack(g_cols)
         h_ref[...] = jnp.stack([jnp.stack(row) for row in H_rows])
         c_ref[...] = cost[None]
@@ -371,12 +461,17 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
         N_pad = ((N + tn - 1) // tn) * tn
         if N_pad != N:
             q_cols = jnp.pad(q_cols, ((0, 0), (0, N_pad - N)))
+        extras = extras_fn(q_cols) if extras_fn is not None else []
+        extra_specs = [
+            pl.BlockSpec((a.shape[0], tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for a in extras]
         scene_specs = [
             pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
             for a in scene_arrays]
         g, Hqq, cost = pl.pallas_call(
-            _kernel,
+            partial(_kernel, len(extras)),
             out_shape=(
                 _out_struct((d, N_pad), q_cols.dtype, q_cols),
                 _out_struct((d, d, N_pad), q_cols.dtype, q_cols),
@@ -384,7 +479,8 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
             ),
             grid=(N_pad // tn,),
             in_specs=[pl.BlockSpec((d, tn), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)] + scene_specs,
+                                   memory_space=pltpu.VMEM)]
+            + extra_specs + scene_specs,
             out_specs=(
                 pl.BlockSpec((d, tn), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -399,7 +495,7 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
                 # point sets
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q_cols, *[jnp.asarray(a) for a in scene_arrays])
+        )(q_cols, *extras, *[jnp.asarray(a) for a in scene_arrays])
         return g[:, :N], Hqq[:, :, :N], cost[0, :N]
 
     def terms(q_cols, lam, h=None, interpret=False):
@@ -431,7 +527,8 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms):
     return terms
 
 
-def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
+def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays,
+                                     grids):
     """Fused terms kernel for a ``MultiRobot``: per-member FK + Jacobians
     in-kernel, then GROUP-STACKED assembly — rows are grouped by their
     column support (each member's object/ws/own-pair rows span only that
@@ -482,7 +579,25 @@ def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
     for k, c in enumerate(self_counts):
         pos_member += [k] * c
 
-    def _tile_body(q, scene):
+    extras_fn = None
+    if grids:
+        from .lanes_fk import _member_lanes_points, _scalar_mat3
+
+        def obj_pts_fn(q_cols):
+            """XLA per-member lanes FK -> world object points, member-major
+            obj sections (the kernel's pos_member obj layout)."""
+            pts = []
+            for mi, r in enumerate(members):
+                q_i = q_cols[int(d_off[mi]):int(d_off[mi + 1])]
+                Rb = _scalar_mat3(robot.base_rots[mi])
+                tb = tuple(robot.base_trans[mi, k] for k in range(3))
+                _, _, m_obj, _, _, _ = _member_lanes_points(r, q_i, Rb, tb)
+                pts += m_obj
+            return pts
+
+        extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim)
+
+    def _tile_body(q, scene, extras):
         dtype = q.dtype
         zeros = jnp.zeros_like(q[0])
 
@@ -561,8 +676,7 @@ def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
         for p in range(n_obj_total):
             mi = pos_member[p]
             x = pts[p][:ws_dim]
-            val, vjp = jax.vjp(lambda xy: _static_scene_sdf(scene, xy), x)
-            grad = vjp(jnp.ones_like(val))[0]
+            val, grad = _point_val_grad(scene, extras, p, x, ws_dim)
             r = jax.nn.relu(float(obj_margins[p]) + cutoff - val)
             act = (r > 0).astype(dtype)
             add_row((mi,), r, hinge_cols(mi, J[p], grad, act))
@@ -642,7 +756,8 @@ def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays):
                 H_rows[j][i] = ent
         return g_cols, H_rows, 0.5 * cost
 
-    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms)
+    return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
+                        extras_fn=extras_fn)
 
 
 def collision_cost_pallas_factory(task):
@@ -670,7 +785,7 @@ def collision_cost_pallas_factory(task):
     scal = _scalarize_scene(task.df_obj_list)
     if scal is None:
         return None
-    scene_spec, scene_arrays = scal
+    scene_spec, scene_arrays, grids = scal
     xla_terms = obstacle_terms_lanes_factory(task)
     if xla_terms is None:
         return None
@@ -728,7 +843,25 @@ def collision_cost_pallas_factory(task):
             pair_pos = p + obj_count      # self section follows obj section
     n_obj_total = obj_count
 
-    def _tile_cost(q, scene):
+    extras_fn = None
+    if grids:
+        from .lanes_fk import _member_lanes_points
+
+        def obj_pts_fn(q_cols):
+            pts = []
+            for mi, r in enumerate(members):
+                q_i = q_cols[int(d_off[mi]):int(d_off[mi + 1])]
+                Rb = tuple(tuple(float(base_R[mi, a, c]) for c in range(3))
+                           for a in range(3))
+                tb = tuple(float(base_t[mi, k]) for k in range(3))
+                _, _, m_obj, _, _, _ = _member_lanes_points(r, q_i, Rb, tb)
+                pts += m_obj
+            return pts
+
+        extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim,
+                                    values_only=True)
+
+    def _tile_cost(q, scene, extras):
         dtype = q.dtype
         obj_pts, self_pts = [], []
         for mi, r in enumerate(members):
@@ -770,7 +903,9 @@ def collision_cost_pallas_factory(task):
 
         for p in range(n_obj_total):
             x = pts[p][:ws_dim]
-            val = _static_scene_sdf(scene, x)
+            val = _static_scene_sdf(scene, x) if scene else None
+            for gv in extras:          # grid fields: XLA-gathered values
+                val = gv[p] if val is None else jnp.minimum(val, gv[p])
             acc(jax.nn.relu(float(obj_margins[p]) + cutoff - val))
             faces = [x[k] - float(ws_min[k]) for k in range(ws_dim)] + \
                     [float(ws_max[k]) - x[k] for k in range(ws_dim)]
@@ -792,11 +927,13 @@ def collision_cost_pallas_factory(task):
 
     n_scene = len(scene_arrays)
 
-    def _kernel(q_ref, *refs):
-        scene_refs = refs[:n_scene]
-        c_ref = refs[n_scene]
+    def _kernel(n_extra, q_ref, *refs):
+        extra_refs = refs[:n_extra]
+        scene_refs = refs[n_extra:n_extra + n_scene]
+        c_ref = refs[n_extra + n_scene]
         scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
-        c_ref[...] = _tile_cost(q_ref[...], scene)[None]
+        c_ref[...] = _tile_cost(q_ref[...], scene,
+                                [r[...] for r in extra_refs])[None]
 
     @partial(jax.jit, static_argnames=("interpret",))
     def _run_kernel(q_cols, interpret=False):
@@ -805,22 +942,28 @@ def collision_cost_pallas_factory(task):
         N_pad = ((N + tn - 1) // tn) * tn
         if N_pad != N:
             q_cols = jnp.pad(q_cols, ((0, 0), (0, N_pad - N)))
+        extras = extras_fn(q_cols) if extras_fn is not None else []
+        extra_specs = [
+            pl.BlockSpec((a.shape[0], tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for a in extras]
         scene_specs = [
             pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
             for a in scene_arrays]
         cost = pl.pallas_call(
-            _kernel,
+            partial(_kernel, len(extras)),
             out_shape=_out_struct((1, N_pad), q_cols.dtype, q_cols),
             grid=(N_pad // tn,),
             in_specs=[pl.BlockSpec((d, tn), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)] + scene_specs,
+                                   memory_space=pltpu.VMEM)]
+            + extra_specs + scene_specs,
             out_specs=pl.BlockSpec((1, tn), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q_cols, *[jnp.asarray(a) for a in scene_arrays])
+        )(q_cols, *extras, *[jnp.asarray(a) for a in scene_arrays])
         return cost[0, :N]
 
     def cost_fn(q_cols, interpret=False):

@@ -78,6 +78,16 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
              else jax.vmap(residual_fn)(q_flat))
         return 0.5 * lam * jnp.sum(jnp.square(r))
 
+    def obstacle_cost_residuals(theta):
+        """Residual-based cost expression — always differentiable.  The
+        autodiff fallback must NOT route through ``obstacle_cost`` when the
+        task exposes ``collision_cost_lanes``: that hook is a pallas_call
+        with no autodiff rule (forward-eval only)."""
+        q_flat = theta[..., :d].reshape((-1, d))
+        r = (residual_fn(q_flat) if batched
+             else jax.vmap(residual_fn)(q_flat))
+        return 0.5 * lam * jnp.sum(jnp.square(r))
+
     def obstacle_grad_and_cost(theta):
         """(d obstacle_cost / d theta, obstacle_cost)."""
         if lanes_terms is not None:
@@ -85,7 +95,7 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
             g_q, _, cost = lanes_terms(q_cols, lam)          # (m, N), (N,)
             g = g_q.T.reshape(theta.shape)     # velocity rows are zero
             return g, jnp.sum(cost)
-        cost, g = jax.value_and_grad(obstacle_cost)(theta)
+        cost, g = jax.value_and_grad(obstacle_cost_residuals)(theta)
         return g, cost
 
     def step(theta, _):

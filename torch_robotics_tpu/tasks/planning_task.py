@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..costs.fields import (object_collision_any, object_collision_cost,
-                            self_collision_any, self_collision_cost,
+                            object_collision_rbf, self_collision_any,
+                            self_collision_cost, self_collision_rbf,
                             workspace_bounds_any, workspace_bounds_cost)
 from ..trajectory.utils import interpolate_traj_via_points
 
@@ -293,9 +294,38 @@ class PlanningTask:
         residuals.supports_batch = True
         return residuals
 
-    def compute_collision_cost(self, x):
-        """x: (..., d_state) states -> per-waypoint sdf cost (...)."""
-        return self._cost_fn(self.robot.get_position(x))
+    def compute_collision_cost(self, x, field_type: str = "sdf"):
+        """x: (..., d_state) states -> per-waypoint cost (...).
+
+        ``field_type`` selects the reference cost framework's three modes
+        (distance_fields.py:110-130): 'sdf' (the hinge distance cost the
+        solvers use), 'rbf' (smooth Gaussian-of-distance surrogate used by
+        downstream sampling/diffusion planners), or 'occupancy' (binary,
+        cast to float).
+        """
+        if field_type == "sdf":
+            return self._cost_fn(self.robot.get_position(x))
+        if field_type == "rbf":
+            return self.compute_collision_cost_rbf(x)
+        if field_type == "occupancy":
+            return self.compute_collision(x).astype(x.dtype)
+        raise NotImplementedError(f"field_type {field_type}")
+
+    def compute_collision_cost_rbf(self, x, margin: Optional[float] = None):
+        """'rbf' field-type cost (reference distance_fields.py:187-192 +
+        274-278 formulas, dispatched per :110-112): Gaussian RBF of the
+        object SDFs summed over objects and points, plus the full pairwise
+        point RBF matrix when the robot self-collides.  ``margin`` defaults
+        to the task's cutoff margin like the reference kwargs."""
+        m = self.obstacle_cutoff_margin if margin is None else margin
+        q = self.robot.get_position(x)
+        obj_pts, self_pts = self._collision_points(q)
+        cost = jnp.zeros(q.shape[:-1], q.dtype)
+        if self.df_obj_list:
+            cost = cost + object_collision_rbf(self.df_obj_list, obj_pts, m)
+        if self_pts is not None:
+            cost = cost + self_collision_rbf(self_pts, m)
+        return cost
 
     def compute_collision_cost_extra_objects(self, x):
         """Cost against the extra (movable) objects only — the separate field
