@@ -54,12 +54,33 @@ def test_pallas_terms_2d_scene_interpret():
     assert obstacle_terms_pallas_factory(task) is None
 
 
-def test_pallas_terms_gating():
-    # learned self-collision net -> no fused path
+def test_pallas_terms_net_interpret_matches_xla():
+    """Learned self-collision net runs IN-KERNEL (round 5): the MLP row is
+    three small MXU matmuls + vjp on the (features, TN) lanes activations,
+    weights entering as full-block VMEM const inputs.  Must match the XLA
+    lanes path (which evaluates the same net on (N, d) rows)."""
+    from torch_robotics_tpu.ops.pallas_terms import (
+        collision_cost_pallas_factory)
     robot_net = RobotPanda.create(use_learned_self_collision=True)
     task_net = PlanningTask(env=EnvSpheres3D(), robot=robot_net,
                             obstacle_cutoff_margin=0.03)
-    assert obstacle_terms_pallas_factory(task_net) is None
+    t_pal = obstacle_terms_pallas_factory(task_net)
+    assert t_pal is not None
+    t_xla = obstacle_terms_lanes_factory(task_net)
+    q = _rand_q(robot_net, 32, seed=17)
+    a = t_xla(q, 77.0)
+    b = t_pal(q, 77.0, interpret=True)
+    for x, y in zip(a, b):
+        scale = float(jnp.abs(x).max()) + 1e-30
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=3e-5 * scale, rtol=2e-5)
+    c_pal = collision_cost_pallas_factory(task_net)
+    assert c_pal is not None
+    ref = t_xla(q, 1.0)[2]
+    got = c_pal(q, interpret=True)
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5 * scale, rtol=2e-5)
 
 
 def test_pallas_terms_grid_scene_interpret_matches_xla():

@@ -192,6 +192,46 @@ def _point_val_grad(scene, extras, mi, x, ws_dim):
     return best_v, tuple(best_g)
 
 
+def _scalarize_net(net, task):
+    """SelfCollisionNet -> (const_arrays, static spec) for in-kernel eval.
+
+    Weights are transposed to (out, in) and biases reshaped (out, 1) so
+    every layer is one ``W @ x`` on the (features, TN) lanes activations;
+    input normalization and output scaling are baked as python floats
+    (numpy scalars lower to MLIR constants)."""
+    consts = []
+    for W, b in net.weights:
+        consts.append(np.asarray(W.T, np.float32))
+        consts.append(np.asarray(b, np.float32).reshape(-1, 1))
+    mean = tuple(float(v) for v in np.asarray(net.mean_q))
+    std = tuple(float(v) for v in np.asarray(net.std_q))
+    scale = (float(net.scale_out[0]), float(net.scale_out[1]))
+    cutoff = float(getattr(task, "_NET_SELF_CUTOFF", 0.001))
+    return consts, (len(net.weights), mean, std, scale, net.activation,
+                    cutoff)
+
+
+def _net_signed_distance(consts, spec, q):
+    """In-kernel MLP signed distance on (d, TN) lanes q -> (TN,).
+
+    Same math as ``SelfCollisionNet.signed_distance`` (negated raw output);
+    float32 MXU matmuls (the GN systems pin float32 precision, CLAUDE.md
+    lesson 3)."""
+    n_layers, mean, std, scale, activation, _ = spec
+    d = q.shape[0]
+    x = jnp.stack([(q[j] - mean[j]) / std[j] for j in range(d)])
+    act = jax.nn.relu if activation == "relu" else jnp.tanh
+    for li in range(n_layers - 1):
+        W, b = consts[2 * li], consts[2 * li + 1]
+        x = act(jnp.dot(W, x, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) + b)
+    W, b = consts[2 * (n_layers - 1)], consts[2 * n_layers - 1]
+    out = jnp.dot(W, x, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32) + b       # (1, TN)
+    raw = out[0] * scale[0] + scale[1]
+    return -raw
+
+
 def _grid_extras_fn(grids, obj_pts_fn, ws_dim, values_only=False):
     """XLA pre-stage of the grid split pipeline: q_cols -> one packed
     lanes array per grid field, ready to enter the kernel as an input.
@@ -241,11 +281,22 @@ def obstacle_terms_pallas_factory(task):
                                                 scene_arrays, grids)
     if not hasattr(robot, "model") or robot.object_interpolate:
         return None
-    if getattr(robot, "self_collision_net", None) is not None:
-        return None         # MLP vjp in-kernel: not worth the layout change
     xla_terms = obstacle_terms_lanes_factory(task)
     if xla_terms is None:
         return None
+
+    # learned self-collision net: replaces the pair rows (lanes_fk.py:594)
+    # with one MLP residual row per waypoint, evaluated IN-KERNEL as small
+    # MXU matmuls on the (features, TN) lanes activations (weights enter as
+    # full-block VMEM const inputs; vjp works inside kernel bodies, lesson
+    # 12b(c)).  Round-5 A/B at bench shapes (B=1024, H=64, net 7-256-64-1,
+    # benchmarks/net_terms_ab.py): terms 1.291 -> 1.128 ms/call (1.14x,
+    # rel err 1.8e-7), net-robot MPC 228.3k solves/s — the round-4
+    # exclusion comment ("not worth the layout change") was an unmeasured
+    # assertion and is retired.
+    net = getattr(robot, "self_collision_net", None)
+    net_spec = _scalarize_net(net, task) if net is not None else None
+    net_consts = net_spec[0] if net_spec is not None else []
 
     sm = StaticModel(robot.model)
     d = robot.q_dim
@@ -262,8 +313,10 @@ def obstacle_terms_pallas_factory(task):
     self_margins = (np.asarray(robot.self_margins, np.float64)
                     if getattr(robot, "self_margins", None) is not None
                     else None)
+    # net replaces the pair rows (lanes_fk.py:594-596 semantics)
     pair_idxs = (np.asarray(robot.self_pair_idxs)
-                 if robot.self_pair_idxs is not None else None)
+                 if robot.self_pair_idxs is not None and net is None
+                 else None)
     grasped_n = int(getattr(robot, "grasped_n_points", 0))
     grasped_pts = (np.asarray(robot.grasped_points)
                    if grasped_n > 0 else None)
@@ -292,7 +345,7 @@ def obstacle_terms_pallas_factory(task):
 
         extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim)
 
-    def _tile_body(q, scene, extras):
+    def _tile_body(q, scene, extras, consts):
         """(d, TN) q tile -> (g_q (d, TN), Hqq (d, d, TN), cost (TN,)),
         UNSCALED by lam (g_q = sum r Jr, Hqq = Jr^T Jr, cost = 0.5 sum r^2).
         Pure scalar-chain form: every intermediate is a (TN,) vector."""
@@ -386,6 +439,16 @@ def obstacle_terms_pallas_factory(task):
                 rows_r.append(r)
                 rows_J.append(cols)
 
+        # --- learned self-collision net: one MLP row per waypoint ---
+        if net_spec is not None:
+            sd, vjp_n = jax.vjp(
+                lambda qq: _net_signed_distance(consts, net_spec[1], qq), q)
+            g_net = vjp_n(jnp.ones_like(sd))[0]                # (d, TN)
+            r_n = jax.nn.relu(net_spec[1][5] - sd)
+            act_n = (r_n > 0).astype(dtype)
+            rows_r.append(r_n)
+            rows_J.append([-act_n * g_net[j] for j in range(d)])
+
         # --- dense assembly on VMEM-resident rows ---
         cost = None
         for r in rows_r:
@@ -418,7 +481,7 @@ def obstacle_terms_pallas_factory(task):
         return g_cols, H_rows, cost
 
     return _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
-                        extras_fn=extras_fn)
+                        extras_fn=extras_fn, const_arrays=tuple(net_consts))
 
 
 def _out_struct(shape, dtype, *operands):
@@ -433,23 +496,28 @@ def _out_struct(shape, dtype, *operands):
 
 
 def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
-                 extras_fn=None):
-    """Wrap a tile body ((d, TN) q, scene, extras -> g_cols, H_rows, cost)
-    into the pallas_call + terms-contract dispatcher shared by the
-    single-robot and MultiRobot factories.  ``extras_fn`` (grid scenes):
-    q_cols -> list of (rows, N) lanes arrays computed in XLA (gathered
-    grid SDF rows) and tiled into the kernel alongside q."""
+                 extras_fn=None, const_arrays=()):
+    """Wrap a tile body ((d, TN) q, scene, extras, consts -> g_cols,
+    H_rows, cost) into the pallas_call + terms-contract dispatcher shared
+    by the single-robot and MultiRobot factories.  ``extras_fn`` (grid
+    scenes): q_cols -> list of (rows, N) lanes arrays computed in XLA
+    (gathered grid SDF rows) and tiled into the kernel alongside q.
+    ``const_arrays``: whole arrays (e.g. MLP weights) entering every tile
+    as full-block VMEM inputs, handed to the body as ``consts``."""
     m = 2 * d
     n_scene = len(scene_arrays)
+    n_const = len(const_arrays)
 
     def _kernel(n_extra, q_ref, *refs):
         extra_refs = refs[:n_extra]
         scene_refs = refs[n_extra:n_extra + n_scene]
-        g_ref, h_ref, c_ref = refs[n_extra + n_scene:]
+        const_refs = refs[n_extra + n_scene:n_extra + n_scene + n_const]
+        g_ref, h_ref, c_ref = refs[n_extra + n_scene + n_const:]
         q = q_ref[...]
         scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
         g_cols, H_rows, cost = _tile_body(q, scene,
-                                          [r[...] for r in extra_refs])
+                                          [r[...] for r in extra_refs],
+                                          [r[...] for r in const_refs])
         g_ref[...] = jnp.stack(g_cols)
         h_ref[...] = jnp.stack([jnp.stack(row) for row in H_rows])
         c_ref[...] = cost[None]
@@ -469,7 +537,7 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
         scene_specs = [
             pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
-            for a in scene_arrays]
+            for a in list(scene_arrays) + list(const_arrays)]
         g, Hqq, cost = pl.pallas_call(
             partial(_kernel, len(extras)),
             out_shape=(
@@ -495,7 +563,9 @@ def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,
                 # point sets
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q_cols, *extras, *[jnp.asarray(a) for a in scene_arrays])
+        )(q_cols, *extras,
+          *[jnp.asarray(a) for a in scene_arrays],
+          *[jnp.asarray(a) for a in const_arrays])
         return g[:, :N], Hqq[:, :, :N], cost[0, :N]
 
     def terms(q_cols, lam, h=None, interpret=False):
@@ -597,7 +667,7 @@ def _multirobot_terms_pallas_factory(task, robot, scene_spec, scene_arrays,
 
         extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim)
 
-    def _tile_body(q, scene, extras):
+    def _tile_body(q, scene, extras, consts):
         dtype = q.dtype
         zeros = jnp.zeros_like(q[0])
 
@@ -808,13 +878,18 @@ def collision_cost_pallas_factory(task):
     else:
         if not hasattr(robot, "model") or robot.object_interpolate:
             return None
-        if getattr(robot, "self_collision_net", None) is not None:
-            return None
         members = [robot]
         base_R = np.eye(3, dtype=np.float64)[None]
         base_t = np.zeros((1, 3), np.float64)
         d_list = [robot.q_dim]
         pair_pos = None        # filled below against the unified layout
+
+    # learned net (single robot): value-only MLP row in-kernel, replacing
+    # the pair rows (same semantics as the terms kernel / lanes_fk.py:594)
+    net = (getattr(robot, "self_collision_net", None)
+           if not isinstance(robot, MultiRobot) else None)
+    net_spec = _scalarize_net(net, task) if net is not None else None
+    net_consts = net_spec[0] if net_spec is not None else []
 
     sms = [StaticModel(r.model) for r in members]
     d_off = np.cumsum([0] + d_list)
@@ -837,7 +912,7 @@ def collision_cost_pallas_factory(task):
         if r.self_coll_idxs:
             self_count += len(r.self_coll_idxs) + int(
                 getattr(r, "grasped_n_points", 0))
-    if not isinstance(robot, MultiRobot):
+    if not isinstance(robot, MultiRobot) and net is None:
         if robot.self_pair_idxs is not None and len(robot.self_pair_idxs):
             p = np.asarray(robot.self_pair_idxs)
             pair_pos = p + obj_count      # self section follows obj section
@@ -861,7 +936,7 @@ def collision_cost_pallas_factory(task):
         extras_fn = _grid_extras_fn(grids, obj_pts_fn, ws_dim,
                                     values_only=True)
 
-    def _tile_cost(q, scene, extras):
+    def _tile_cost(q, scene, extras, consts):
         dtype = q.dtype
         obj_pts, self_pts = [], []
         for mi, r in enumerate(members):
@@ -923,17 +998,23 @@ def collision_cost_pallas_factory(task):
                 nz = d2 > 0
                 dist = jnp.where(nz, jnp.sqrt(jnp.where(nz, d2, 1.0)), 0.0)
                 acc(jax.nn.relu(float(self_margins[ki]) - dist))
+        if net_spec is not None:
+            sd = _net_signed_distance(consts, net_spec[1], q)
+            acc(jax.nn.relu(net_spec[1][5] - sd))
         return 0.5 * cost
 
     n_scene = len(scene_arrays)
+    n_const = len(net_consts)
 
     def _kernel(n_extra, q_ref, *refs):
         extra_refs = refs[:n_extra]
         scene_refs = refs[n_extra:n_extra + n_scene]
-        c_ref = refs[n_extra + n_scene]
+        const_refs = refs[n_extra + n_scene:n_extra + n_scene + n_const]
+        c_ref = refs[n_extra + n_scene + n_const]
         scene = _rebuild_scene(scene_spec, [r[...] for r in scene_refs])
         c_ref[...] = _tile_cost(q_ref[...], scene,
-                                [r[...] for r in extra_refs])[None]
+                                [r[...] for r in extra_refs],
+                                [r[...] for r in const_refs])[None]
 
     @partial(jax.jit, static_argnames=("interpret",))
     def _run_kernel(q_cols, interpret=False):
@@ -950,7 +1031,7 @@ def collision_cost_pallas_factory(task):
         scene_specs = [
             pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
-            for a in scene_arrays]
+            for a in list(scene_arrays) + list(net_consts)]
         cost = pl.pallas_call(
             partial(_kernel, len(extras)),
             out_shape=_out_struct((1, N_pad), q_cols.dtype, q_cols),
@@ -963,7 +1044,9 @@ def collision_cost_pallas_factory(task):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q_cols, *extras, *[jnp.asarray(a) for a in scene_arrays])
+        )(q_cols, *extras,
+          *[jnp.asarray(a) for a in scene_arrays],
+          *[jnp.asarray(a) for a in net_consts])
         return cost[0, :N]
 
     def cost_fn(q_cols, interpret=False):
