@@ -122,7 +122,13 @@ def main(small=False):
         ("EnvGridCircles2D", EnvGridCircles2D(), RobotPointMass.create(),
          jnp.array([-0.75, -0.75]), jnp.array([0.75, 0.75]), None),
         ("EnvDense2D", EnvDense2D(), RobotPointMass.create(),
-         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),
+         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]),
+         # dense random clutter wants bigger Sinkhorn steps, deeper probes
+         # and more OT iterations than the reference's regular-grid preset:
+         # two-round sweep (benchmarks/mpot_dense2d_sweep.py, 2026-08-20)
+         # took pipeline fraction-free 0.594 -> 0.906 at ~8 s wall
+         {"step_radius": 0.07, "probe_radius": 0.09, "num_probe": 9,
+          "opt_iters": 300}),
         ("EnvNarrowPassageDense2D", EnvNarrowPassageDense2D(),
          RobotPointMass.create(),
          jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),
