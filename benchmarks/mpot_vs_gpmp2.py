@@ -121,14 +121,11 @@ def main(small=False):
         # (env, robot, start_q, goal_q, mpot overrides)
         ("EnvGridCircles2D", EnvGridCircles2D(), RobotPointMass.create(),
          jnp.array([-0.75, -0.75]), jnp.array([0.75, 0.75]), None),
+        # EnvDense2D now ships a tuned mpot preset (envs/zoo.py
+        # _TUNED_PLANNER_PARAMS, from benchmarks/mpot_dense2d_sweep.py:
+        # fraction-free 0.594 -> 0.906) — picked up via get_mpot_params
         ("EnvDense2D", EnvDense2D(), RobotPointMass.create(),
-         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]),
-         # dense random clutter wants bigger Sinkhorn steps, deeper probes
-         # and more OT iterations than the reference's regular-grid preset:
-         # two-round sweep (benchmarks/mpot_dense2d_sweep.py, 2026-08-20)
-         # took pipeline fraction-free 0.594 -> 0.906 at ~8 s wall
-         {"step_radius": 0.07, "probe_radius": 0.09, "num_probe": 9,
-          "opt_iters": 300}),
+         jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),
         ("EnvNarrowPassageDense2D", EnvNarrowPassageDense2D(),
          RobotPointMass.create(),
          jnp.array([-0.9, -0.9]), jnp.array([0.9, 0.9]), None),

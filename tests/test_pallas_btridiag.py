@@ -66,3 +66,26 @@ def test_pallas_bcr_matches_lanes_core_interpret():
         x_p = solve_lanes_pallas_bcr(Dt, Ut, bt, tile_b=128, interpret=True)
         np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_factor_subst_interpret():
+    """Factor-persisting sweep + substitution-only re-solve (GN
+    factorization reuse, round 5): factor's x matches the XLA lanes
+    solver; subst against a FRESH rhs matches solving the ORIGINAL system
+    with that rhs."""
+    from torch_robotics_tpu.ops.pallas_btridiag import (
+        solve_lanes_pallas_factor, solve_lanes_pallas_subst)
+    H, m, B = 8, 6, 256
+    key = jax.random.PRNGKey(5)
+    Dt, Ut, bt = _lanes_inputs(key, H, m, B)
+    b2 = bt + jax.random.normal(jax.random.fold_in(key, 9), bt.shape)
+
+    x, L, W = solve_lanes_pallas_factor(Dt, Ut, bt, tile_b=128,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(x),
+                               np.asarray(solve_lanes_core(Dt, Ut, bt)),
+                               rtol=1e-4, atol=1e-5)
+    x2 = solve_lanes_pallas_subst(L, W, b2, tile_b=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(x2),
+                               np.asarray(solve_lanes_core(Dt, Ut, b2)),
+                               rtol=1e-4, atol=1e-5)

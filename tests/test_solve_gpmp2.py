@@ -176,3 +176,39 @@ def test_gpmp2_solve_restarts(setup):
                                   np.asarray(base.trajs)[free0])
     # restart can only improve (or match) the free fraction
     assert float(jnp.mean(free_fn(res.trajs))) >= free0.mean()
+
+
+def test_gpmp2_reuse_loop_matches_plain_at_k1(setup):
+    """_gpmp2_solve_reuse (GN factorization reuse, round 5) with
+    refactor_every=1 must reproduce the plain solve exactly — every
+    iteration factors, the substitution branch never executes; at k=2 the
+    stale-factor iterations must stay finite and converge to a comparable
+    cost (quality parity at production configs is pinned on-device in
+    benchmarks/subst_reuse_bench.py / gn_reuse_ab.py)."""
+    import dataclasses
+
+    from torch_robotics_tpu.solve.gp_prior import straight_line_trajs
+    from torch_robotics_tpu.solve.gpmp2 import _gpmp2_solve_reuse
+
+    env, robot, task, _ = setup
+    lt = task.collision_residuals.obstacle_terms_lanes
+    assert lt is not None
+    B, H = 128, 8
+    start = jnp.concatenate([jnp.array([-0.9, -0.9]), jnp.zeros(2)])
+    goal = jnp.concatenate([jnp.array([0.9, 0.9]), jnp.zeros(2)])
+    theta0 = straight_line_trajs(jnp.tile(start, (B, 1)),
+                                 jnp.tile(goal, (B, 1)), H)
+    p = GPMP2Params(n_support_points=H, dt=0.1, opt_iters=6,
+                    sigma_start=1e-3, sigma_gp=1e-1, sigma_goal_prior=1e-3,
+                    sigma_coll=1e-3, step_size=0.5)
+    ref = gpmp2_solve(task.collision_residuals, theta0, start, goal, p)
+    r1 = _gpmp2_solve_reuse(lt, theta0, start, goal,
+                            dataclasses.replace(p, refactor_every=1), None,
+                            128, interpret=True)
+    np.testing.assert_allclose(np.asarray(r1.trajs), np.asarray(ref.trajs),
+                               rtol=1e-5, atol=1e-5)
+    r2 = _gpmp2_solve_reuse(lt, theta0, start, goal,
+                            dataclasses.replace(p, refactor_every=2), None,
+                            128, interpret=True)
+    assert bool(jnp.isfinite(r2.trajs).all())
+    assert bool(jnp.isfinite(r2.costs).all())

@@ -90,3 +90,20 @@ def test_mpot_gpmp2_pipeline_quality():
                                np.tile([-0.75, -0.75], (16, 1)), atol=2e-2)
     np.testing.assert_allclose(res.trajs[:, -1, :2],
                                np.tile([0.75, 0.75], (16, 1)), atol=2e-2)
+
+
+def test_dense2d_tuned_mpot_preset():
+    """EnvDense2D ships a TUNED mpot preset beyond the reference (zoo.py
+    _TUNED_PLANNER_PARAMS; sweep benchmarks/mpot_dense2d_sweep.py took
+    pipeline fraction-free 0.594 -> 0.906): the winning knobs must survive
+    the preset -> MPOTParams.from_preset round trip."""
+    from torch_robotics_tpu.envs import EnvDense2D
+    from torch_robotics_tpu.robots import RobotPointMass
+    from torch_robotics_tpu.solve.mpot import MPOTParams
+
+    env = EnvDense2D()
+    p = MPOTParams.from_preset(env.get_mpot_params(RobotPointMass.create()))
+    assert p.opt_iters == 300
+    assert p.step_radius == pytest.approx(0.07)
+    assert p.probe_radius == pytest.approx(0.09)
+    assert p.num_probe == 9

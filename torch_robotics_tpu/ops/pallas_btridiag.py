@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols"]
+__all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols",
+           "solve_lanes_pallas_factor", "solve_lanes_pallas_subst",
+           "pallas_tile_for_factor"]
 
 import numpy as np
 
@@ -146,6 +148,241 @@ def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
         return 0
 
     jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
+
+
+def _kernel_factor(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, W_ref,
+                   y_ref, S_ref, Wy_ref):
+    """Forward factorization + backward substitution that PERSISTS the
+    factors: L (block Cholesky factors of the condensed diagonals) and
+    W = L^{-1} U to output refs, for later substitution-only re-solves
+    against fresh right-hand sides (GN factorization reuse, CLAUDE.md
+    round-5 A/B: quality-neutral on long batch solves).
+
+    Same math as ``_kernel``; the backward pass reads W back instead of
+    recomputing the trsm, so this variant is also slightly cheaper per
+    backward step at the cost of the extra (H, m, m, TB) VMEM stack +
+    HBM write-back (tile budget: ``pallas_tile_for_factor``)."""
+    S_ref[:] = jnp.zeros_like(S_ref)
+    Wy_ref[:] = jnp.zeros_like(Wy_ref)
+    # L's strict upper triangle is never written below — zero the outputs
+    # once so no uninitialized VMEM reaches HBM
+    L_ref[:] = jnp.zeros_like(L_ref)
+
+    def fwd_step(k, _):
+        A = D_ref[k] - S_ref[:]
+        b_k = b_ref[k] - Wy_ref[:]
+        L = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i + 1):
+                s = A[i, j]
+                for t in range(j):
+                    s = s - L[i][t] * L[j][t]
+                if i == j:
+                    L[i][j] = jnp.sqrt(s)
+                else:
+                    L[i][j] = s * pl.reciprocal(L[j][j], approx=False)
+        y = [None] * m
+        for i in range(m):
+            s = b_k[i]
+            for t in range(i):
+                s = s - L[i][t] * y[t]
+            y[i] = s * pl.reciprocal(L[i][i], approx=False)
+        W = [[None] * m for _ in range(m)]
+        for j in range(m):
+            for i in range(m):
+                s = U_ref[k, i, j] + jnp.zeros_like(A[0, 0])
+                for t in range(i):
+                    s = s - L[i][t] * W[t][j]
+                W[i][j] = s * pl.reciprocal(L[i][i], approx=False)
+        for i in range(m):
+            for j in range(m):
+                s = W[0][i] * W[0][j]
+                for t in range(1, m):
+                    s = s + W[t][i] * W[t][j]
+                S_ref[i, j] = s
+            s = W[0][i] * y[0]
+            for t in range(1, m):
+                s = s + W[t][i] * y[t]
+            Wy_ref[i] = s
+        for i in range(m):
+            y_ref[k, i] = y[i]
+            for j in range(i + 1):
+                L_ref[k, i, j] = L[i][j]
+            for j in range(m):
+                W_ref[k, i, j] = W[i][j]
+        return 0
+
+    jax.lax.fori_loop(0, H, fwd_step, 0, unroll=False)
+    _bwd_subst_loop(m, H, L_ref, W_ref, y_ref, x_ref)
+
+
+def _bwd_subst_loop(m, H, L_ref, W_ref, y_ref, x_ref):
+    """Backward substitution from persisted factors:
+    x_{H-1} = L^{-T} y; x_k = L^{-T} (y_k - W_k x_{k+1})."""
+    def bwd_step(idx, _):
+        k = H - 1 - idx
+
+        def inner(rhs):
+            x = [None] * m
+            for i in reversed(range(m)):
+                s = rhs[i]
+                for t in range(i + 1, m):
+                    s = s - L_ref[k, t, i] * x[t]
+                x[i] = s * pl.reciprocal(L_ref[k, i, i], approx=False)
+            for i in range(m):
+                x_ref[k, i] = x[i]
+
+        @pl.when(k == H - 1)
+        def _():
+            inner([y_ref[k, i] for i in range(m)])
+
+        @pl.when(k < H - 1)
+        def _():
+            rhs2 = []
+            for i in range(m):
+                s = y_ref[k, i]
+                for j in range(m):
+                    s = s - W_ref[k, i, j] * x_ref[k + 1, j]
+                rhs2.append(s)
+            inner(rhs2)
+        return 0
+
+    jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
+
+
+def _kernel_subst(m: int, H: int, L_ref, W_ref, b_ref, x_ref, y_ref,
+                  Wy_ref):
+    """Substitution-only re-solve against persisted factors (L, W) with a
+    FRESH right-hand side b — ~3m^2 equations per block step vs ~1.7m^3
+    for the full factorizing sweep (m=14: ~590 vs ~4,700); the sweep is
+    issue-bound on its dependent-op chain so the op-count ratio is the
+    speedup lever (GN factorization reuse, refactor-every-k)."""
+    Wy_ref[:] = jnp.zeros_like(Wy_ref)
+
+    def fwd_step(k, _):
+        b_k = b_ref[k] - Wy_ref[:]
+        y = [None] * m
+        for i in range(m):
+            s = b_k[i]
+            for t in range(i):
+                s = s - L_ref[k, i, t] * y[t]
+            y[i] = s * pl.reciprocal(L_ref[k, i, i], approx=False)
+        for i in range(m):
+            s = W_ref[k, 0, i] * y[0]
+            for t in range(1, m):
+                s = s + W_ref[k, t, i] * y[t]
+            Wy_ref[i] = s
+            y_ref[k, i] = y[i]
+        return 0
+
+    jax.lax.fori_loop(0, H, fwd_step, 0, unroll=False)
+    _bwd_subst_loop(m, H, L_ref, W_ref, y_ref, x_ref)
+
+
+def pallas_tile_for_factor(H: int, m: int, B: int):
+    """Lane tile for the factor-persisting sweep, or None.
+
+    Four (H, m, m, tb) matrix stacks live per program (D in, L + W out,
+    plus pipeline buffering) instead of the plain sweep's three."""
+    if jax.default_backend() != "tpu":
+        return None
+    for tb in (512, 256, 128):
+        if B % tb:
+            continue
+        vmem = (4 * m * m * H + 4 * m * H + 2 * m * m) * tb * 4
+        if vmem <= 88 * 1024 * 1024:
+            return tb
+    return None
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas_factor(D, U, b, tile_b: int = 256,
+                              interpret: bool = False):
+    """Factor-persisting lane-layout block-tridiagonal SPD solve.
+
+    Same contract as ``solve_lanes_pallas`` plus factor outputs:
+    D (H, m, m, B), U (H, m, m, 1) shared over the batch, b (H, m, B)
+    -> (x (H, m, B), L (H, m, m, B), W (H, m, m, B)).  Feed (L, W) to
+    ``solve_lanes_pallas_subst`` to re-solve with fresh b at ~10% of the
+    sweep's equations."""
+    H, m, _, B = D.shape
+    assert B % tile_b == 0, (B, tile_b)
+    U3 = U[..., 0]
+
+    kernel = partial(_kernel_factor, m, H)
+    grid = (B // tile_b,)
+    x, L, W = pl.pallas_call(
+        kernel,
+        out_shape=(
+            _out_struct((H, m, B), D.dtype, D, U3, b),
+            _out_struct((H, m, m, B), D.dtype, D, U3, b),
+            _out_struct((H, m, m, B), D.dtype, D, U3, b),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, m, tile_b), D.dtype),      # y stack
+            pltpu.VMEM((m, m, tile_b), D.dtype),      # S carry
+            pltpu.VMEM((m, tile_b), D.dtype),         # Wy carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(D, U3, b)
+    return x, L, W
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas_subst(L, W, b, tile_b: int = 256,
+                             interpret: bool = False):
+    """Substitution-only solve from persisted factors.
+
+    L, W (H, m, m, B) from ``solve_lanes_pallas_factor``, b (H, m, B)
+    fresh right-hand side -> x (H, m, B) solving the ORIGINAL system with
+    the new b."""
+    H, m, _, B = L.shape
+    assert B % tile_b == 0, (B, tile_b)
+
+    kernel = partial(_kernel_subst, m, H)
+    grid = (B // tile_b,)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=_out_struct((H, m, B), L.dtype, L, W, b),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, m, tile_b), L.dtype),      # y stack
+            pltpu.VMEM((m, tile_b), L.dtype),         # Wy carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(L, W, b)
+    return x
 
 
 def _kernel_cols(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,

@@ -42,6 +42,14 @@ class GPMP2Params:
     sigma_gp_init: float = 0.2
     solver_delta: float = 1e-2   # Levenberg damping on the GN system
     stop_criteria: float = 0.0   # (informational; fixed-iteration under jit)
+    # GN factorization reuse: refactor the block-tridiagonal system every
+    # k-th iteration and re-solve the others with a substitution-only
+    # kernel against the stale factors (fresh gradient).  Quality-neutral
+    # on long batch solves, DIVERGES on 2-iter warm-started MPC steps
+    # where the active hinge set changes per step (measured both ways:
+    # benchmarks/gn_reuse_ab.py) — keep 1 for MPC.  Takes effect only on
+    # the TPU Pallas lanes path (m <= 16); ignored elsewhere.
+    refactor_every: int = 1
 
     @classmethod
     def from_preset(cls, preset: dict) -> "GPMP2Params":
@@ -55,7 +63,8 @@ class GPMP2Params:
         if preset.get("stop_criteria") is not None:
             kwargs["stop_criteria"] = preset["stop_criteria"]
         kwargs = {k: (int(v) if k in ("n_support_points", "opt_iters",
-                                      "num_samples") else v)
+                                      "num_samples", "refactor_every")
+                      else v)
                   for k, v in kwargs.items()}
         return cls(**kwargs)
 
@@ -144,18 +153,14 @@ def gpmp2_step(residual_fn: Callable, theta, start_state, goal_state,
                                 params, ee_goal_terms)
 
 
-def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
-                           params: GPMP2Params, ee_goal_terms=None):
-    """Fully lane-vectorized GN step: theta (B, H, m).
+def _lanes_gn_system(lanes_terms, theta, start_state, goal_state,
+                     params: GPMP2Params, ee_goal_terms=None):
+    """Assemble the lane-layout GN system for theta (B, H, m).
 
-    All obstacle terms, J^T J assembly and the block-tridiagonal solve run
-    with the batch in the minor (lane) dimension — zero tile padding on the
-    small 3/7/14-sized dims.  N ordering is h-major (n = h * B + b) so the
-    reshape into the (H, m, m, B) solver layout permutes only small axes.
-    """
-    from .btridiag_bcr import solve_lanes_bcr
-    from .btridiag_lanes import solve_lanes_core
-
+    Returns (b_l (H, m, B), D_l (H, m, m, B), U_l (H, m, m, 1),
+    cost_traj (B,)) — the block-tridiagonal normal equations in the solver
+    layout.  N ordering is h-major (n = h * B + b) so the reshape into the
+    solver layout permutes only small axes."""
     B, H, m = theta.shape
     d = m // 2
     lam = 1.0 / (params.sigma_coll ** 2)
@@ -184,6 +189,25 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
             axis=0)
     U_pad = jnp.concatenate([U, jnp.zeros_like(U[:1])], axis=0)
     U_l = U_pad[..., None]                                          # (H,m,m,1)
+    cost_traj = jnp.sum(cost, axis=0)                  # cost is (H, B)
+    return b_l, D_l, U_l, cost_traj
+
+
+def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
+                           params: GPMP2Params, ee_goal_terms=None):
+    """Fully lane-vectorized GN step: theta (B, H, m).
+
+    All obstacle terms, J^T J assembly and the block-tridiagonal solve run
+    with the batch in the minor (lane) dimension — zero tile padding on the
+    small 3/7/14-sized dims.
+    """
+    from .btridiag_bcr import solve_lanes_bcr
+    from .btridiag_lanes import solve_lanes_core
+
+    B, H, m = theta.shape
+
+    b_l, D_l, U_l, cost_traj = _lanes_gn_system(
+        lanes_terms, theta, start_state, goal_state, params, ee_goal_terms)
 
     # the fused-scan sweep beats log-depth cyclic reduction here (measured
     # 104 vs 150 ms/step at H=64, B=1024 — the BCR levels' unrolled block
@@ -218,9 +242,8 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
             from .btridiag import block_tridiag_solve
             D_b = jnp.transpose(D_l, (3, 0, 1, 2))                  # (B,H,m,m)
             b_b = jnp.transpose(b_l, (2, 0, 1))                    # (B, H, m)
-            delta = block_tridiag_solve(D_b, U, b_b)
+            delta = block_tridiag_solve(D_b, U_l[:-1, :, :, 0], b_b)
     theta_next = theta + params.step_size * delta
-    cost_traj = jnp.sum(cost, axis=0)                  # cost is (H, B)
     return theta_next, cost_traj
 
 
@@ -259,7 +282,22 @@ def gpmp2_solve(residual_fn: Callable, theta0, start_state, goal_state,
 
     theta0: (..., H, 2d) initial trajectories (e.g. from gpmp2_init_trajs).
     ee_goal_terms: optional task-space goal factor (solve.ee_goal).
+    ``params.refactor_every > 1`` enables GN factorization reuse on the
+    TPU Pallas lanes path (see the field's docstring); elsewhere it is
+    ignored and every iteration refactors.
     """
+    if params.refactor_every > 1 and theta0.ndim == 3:
+        lanes_terms = getattr(residual_fn, "obstacle_terms_lanes", None)
+        B, H, m = theta0.shape
+        if lanes_terms is not None and m <= _LANES_SOLVE_MAX_M:
+            from ..ops.pallas_btridiag import (_SCALAR_KERNEL_MAX_M,
+                                               pallas_tile_for_factor)
+            tb = pallas_tile_for_factor(H, m, B)
+            if m <= _SCALAR_KERNEL_MAX_M and tb is not None:
+                return _gpmp2_solve_reuse(lanes_terms, theta0, start_state,
+                                          goal_state, params, ee_goal_terms,
+                                          tb)
+
     def step(theta, _):
         theta_next, cost = gpmp2_step(residual_fn, theta, start_state,
                                       goal_state, params, ee_goal_terms)
@@ -267,6 +305,49 @@ def gpmp2_solve(residual_fn: Callable, theta0, start_state, goal_state,
 
     theta, cost_trace = jax.lax.scan(step, theta0, None,
                                      length=params.opt_iters)
+    return GPMP2Result(trajs=theta, costs=cost_trace[-1],
+                       cost_trace=cost_trace)
+
+
+def _gpmp2_solve_reuse(lanes_terms, theta0, start_state, goal_state,
+                       params: GPMP2Params, ee_goal_terms, tile_b,
+                       interpret: bool = False) -> GPMP2Result:
+    """GN solve with factorization reuse (``params.refactor_every`` = k).
+
+    Iterations 0, k, 2k, ... factor the fresh block-tridiagonal system
+    with the factor-persisting Pallas sweep; the others re-solve the STALE
+    factors against the fresh gradient with the substitution-only kernel
+    (~3m^2 vs ~1.7m^3 equations per block step — the sweep is issue-bound,
+    so the op-count ratio is wall-clock).  Quality measured neutral on
+    long batch solves, divergent on warm-started 2-iter MPC steps
+    (benchmarks/gn_reuse_ab.py) — this path is only reached through
+    ``gpmp2_solve``/``gpmp2_solve_restarts`` when the caller opts in."""
+    from ..ops.pallas_btridiag import (solve_lanes_pallas_factor,
+                                       solve_lanes_pallas_subst)
+    B, H, m = theta0.shape
+    sched = (jnp.arange(params.opt_iters) % params.refactor_every) == 0
+    # factor carries derived from an operand (shard_map vma, lesson 8)
+    F0 = jnp.zeros((H, m, m, B), theta0.dtype) + 0.0 * theta0[0, 0, 0]
+
+    with jax.default_matmul_precision("float32"):
+        def step(carry, refac):
+            theta, L, W = carry
+            b_l, D_l, U_l, cost_traj = _lanes_gn_system(
+                lanes_terms, theta, start_state, goal_state, params,
+                ee_goal_terms)
+            x_l, L, W = jax.lax.cond(
+                refac,
+                lambda L, W: solve_lanes_pallas_factor(
+                    D_l, U_l, b_l, tile_b=tile_b, interpret=interpret),
+                lambda L, W: (solve_lanes_pallas_subst(
+                    L, W, b_l, tile_b=tile_b, interpret=interpret), L, W),
+                L, W)
+            theta_next = theta + params.step_size * jnp.transpose(
+                x_l, (2, 0, 1))
+            return (theta_next, L, W), cost_traj
+
+        (theta, _, _), cost_trace = jax.lax.scan(step, (theta0, F0, F0),
+                                                 sched)
     return GPMP2Result(trajs=theta, costs=cost_trace[-1],
                        cost_trace=cost_trace)
 
