@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols",
            "solve_lanes_pallas_factor", "solve_lanes_pallas_subst",
+           "solve_lanes_pallas_w",
            "pallas_tile_for_factor"]
 
 import numpy as np
@@ -293,6 +294,53 @@ def pallas_tile_for_factor(H: int, m: int, B: int):
         if vmem <= 88 * 1024 * 1024:
             return tb
     return None
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def solve_lanes_pallas_w(D, U, b, tile_b: int = 256,
+                         interpret: bool = False):
+    """Plain-contract solve with a VMEM W stack (round 5 default sweep).
+
+    Same contract as ``solve_lanes_pallas`` (x only), but runs the
+    ``_kernel_factor`` body with L and W in SCRATCH: the backward pass
+    reads W back instead of re-running the per-step trsm
+    (~m^3/2 equations), which the chained micro measured at 1.446 ->
+    1.164 ms/solve at the bench shapes EVEN when paying the factor
+    variant's HBM write-back — this variant keeps the stacks on-chip.
+    Costs one more (H, m, m, tb) VMEM stack, so the tile budget is
+    ``pallas_tile_for_factor`` (256 at bench shapes vs the 3-stack 512)."""
+    H, m, _, B = D.shape
+    assert B % tile_b == 0, (B, tile_b)
+    U3 = U[..., 0]
+
+    kernel = partial(_kernel_factor, m, H)
+    grid = (B // tile_b,)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=_out_struct((H, m, B), D.dtype, D, U3, b),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, m, m, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, m, m, tile_b), D.dtype),   # L stack
+            pltpu.VMEM((H, m, m, tile_b), D.dtype),   # W stack
+            pltpu.VMEM((H, m, tile_b), D.dtype),      # y stack
+            pltpu.VMEM((m, m, tile_b), D.dtype),      # S carry
+            pltpu.VMEM((m, tile_b), D.dtype),         # Wy carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(D, U3, b)
+    return x
 
 
 @partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -567,6 +615,14 @@ def solve_lanes_auto(D, U, b):
     # the Pallas kernels read U as (H, m, m) shared scalars — per-batch
     # off-diagonal blocks (B > 1) would silently use batch 0's U
     if U.shape[-1] == 1:
+        if m <= _SCALAR_KERNEL_MAX_M:
+            # prefer the W-persisting sweep (backward pass reads the VMEM
+            # W stack instead of re-running the per-step trsm): 1.252 vs
+            # 1.322 ms at the bench shapes, interleaved min-of-6 chained
+            # timing (/tmp wstack micro, 2026-08-20); bit-exact
+            tb_w = pallas_tile_for_factor(H, m, B)
+            if tb_w is not None:
+                return solve_lanes_pallas_w(D, U, b, tile_b=tb_w)
         tb = pallas_tile_for(H, m, B)
         if tb is not None:
             if m <= _SCALAR_KERNEL_MAX_M:

@@ -44,11 +44,18 @@ class GPMP2Params:
     stop_criteria: float = 0.0   # (informational; fixed-iteration under jit)
     # GN factorization reuse: refactor the block-tridiagonal system every
     # k-th iteration and re-solve the others with a substitution-only
-    # kernel against the stale factors (fresh gradient).  Quality-neutral
-    # on long batch solves, DIVERGES on 2-iter warm-started MPC steps
-    # where the active hinge set changes per step (measured both ways:
-    # benchmarks/gn_reuse_ab.py) — keep 1 for MPC.  Takes effect only on
-    # the TPU Pallas lanes path (m <= 16); ignored elsewhere.
+    # kernel against the stale factors (fresh gradient; ~56x cheaper per
+    # re-solve, benchmarks/subst_reuse_bench.py).  USE WITH CARE — the
+    # safe regime is NARROW: quality-neutral only at weak collision
+    # weights (sigma_coll ~5e-3, benchmarks/gn_reuse_ab.py); at
+    # production weights (sigma_coll 5e-4, lam ~4e6) stale factors lack
+    # curvature for hinge rows that newly enter the active set and the
+    # solve steps explode along them (config-3 fraction-free 0.77 -> 0.0,
+    # trajectories to ~1e3 rad — even 8 tail-end substitution steps or
+    # 0.3x-damped steps collapse; round-5 sweep, /tmp-archived, summary
+    # in BASELINE.md).  Also DIVERGES on 2-iter warm-started MPC steps.
+    # Takes effect only on the TPU Pallas lanes path (m <= 16); ignored
+    # elsewhere.
     refactor_every: int = 1
 
     @classmethod
