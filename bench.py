@@ -120,7 +120,9 @@ def main():
     # _POD_CHUNK).  The knee moved when the fused Pallas terms kernel
     # removed the terms stage's HBM traffic (ops/pallas_terms.py): chunk
     # sweep at H=64 after the kernel measured 241k @ 128 / 282k @ 256 /
-    # 272k @ 512 / 280k @ 1024 solves/s (was 167.6k @ 128 peak before)
+    # 272k @ 512 / 280k @ 1024 solves/s (was 167.6k @ 128 peak before).
+    # Re-swept after the W-persisting sweep (round 5): 300.7k @ 128 /
+    # 316.6k @ 256 / 296.1k @ 512 / 289.1k @ 1024 — 256 stays the knee
     CHUNK = 256
 
     def run_steps_fn(n_steps):
