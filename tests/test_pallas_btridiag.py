@@ -103,3 +103,23 @@ def test_pallas_w_matches_lanes_core_interpret():
     x_w = solve_lanes_pallas_w(Dt, Ut, bt, tile_b=128, interpret=True)
     np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_trsv_backward_matches_lanes_core_interpret():
+    """trsv backward tail (matvec + triangular vector solve instead of the
+    full W trsm recompute) parity for BOTH kernel families — the round-5
+    default tails on TPU (A/B: benchmarks/btridiag_trsv_ab.py)."""
+    H, m, B = 8, 6, 256
+    Dt, Ut, bt = _lanes_inputs(jax.random.PRNGKey(6), H, m, B)
+    x_ref = solve_lanes_core(Dt, Ut, bt)
+    x_p = solve_lanes_pallas(Dt, Ut, bt, tile_b=128, interpret=True,
+                             bwd_trsv=True)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    H, m, B = 4, 40, 128
+    Dt, Ut, bt = _lanes_inputs(jax.random.PRNGKey(7), H, m, B)
+    x_ref = solve_lanes_core(Dt, Ut, bt)
+    x_p = solve_lanes_pallas_cols(Dt, Ut, bt, tile_b=128, interpret=True,
+                                  bwd_trsv=True)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -48,13 +48,19 @@ def _out_struct(shape, dtype, *operands):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
-            S_ref, Wy_ref):
+def _kernel(m: int, H: int, bwd_trsv: bool, D_ref, U_ref, b_ref, x_ref,
+            L_ref, y_ref, S_ref, Wy_ref):
     """Forward factorization + backward substitution, all in VMEM.
 
     Block entries are (TB,) vectors; the small linear algebra is Python-
     unrolled over the static m (same op structure as the proven XLA lanes
     solver, minus the HBM round-trips between steps).
+
+    ``bwd_trsv``: the backward step needs only the VECTOR
+    ``W_k x_{k+1} = L_k^{-1} (U_k x_{k+1})`` — a matvec + triangular
+    vector solve (~1.5 m^2 ops) — not the full W matrix the trsm
+    recomputation builds (~m^3/2 ops).  Same math, different rounding
+    association (not bit-identical to the trsm tail).
     """
     S_ref[:] = jnp.zeros_like(S_ref)
     Wy_ref[:] = jnp.zeros_like(Wy_ref)
@@ -129,23 +135,41 @@ def _kernel(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
         def _():
             inner(rhs)
 
-        @pl.when(k < H - 1)
-        def _():
-            # W_k = L_k^{-1} U_k recomputed (saves an (H,m,m,TB) stack)
-            W = [[None] * m for _ in range(m)]
-            for j in range(m):
+        if bwd_trsv:
+            @pl.when(k < H - 1)
+            def _():
+                # z = W_k x_{k+1} = L_k^{-1} (U_k x_{k+1}): matvec + trsv
+                v = [None] * m
                 for i in range(m):
-                    s = U_ref[k, i, j] + jnp.zeros_like(rhs[0])
+                    s = U_ref[k, i, 0] * x_ref[k + 1, 0]
+                    for j in range(1, m):
+                        s = s + U_ref[k, i, j] * x_ref[k + 1, j]
+                    v[i] = s
+                z = [None] * m
+                for i in range(m):
+                    s = v[i]
                     for t in range(i):
-                        s = s - L[i][t] * W[t][j]
-                    W[i][j] = s * pl.reciprocal(L[i][i], approx=False)
-            rhs2 = []
-            for i in range(m):
-                s = rhs[i]
+                        s = s - L[i][t] * z[t]
+                    z[i] = s * pl.reciprocal(L[i][i], approx=False)
+                inner([rhs[i] - z[i] for i in range(m)])
+        else:
+            @pl.when(k < H - 1)
+            def _():
+                # W_k = L_k^{-1} U_k recomputed (saves an (H,m,m,TB) stack)
+                W = [[None] * m for _ in range(m)]
                 for j in range(m):
-                    s = s - W[i][j] * x_ref[k + 1, j]
-                rhs2.append(s)
-            inner(rhs2)
+                    for i in range(m):
+                        s = U_ref[k, i, j] + jnp.zeros_like(rhs[0])
+                        for t in range(i):
+                            s = s - L[i][t] * W[t][j]
+                        W[i][j] = s * pl.reciprocal(L[i][i], approx=False)
+                rhs2 = []
+                for i in range(m):
+                    s = rhs[i]
+                    for j in range(m):
+                        s = s - W[i][j] * x_ref[k + 1, j]
+                    rhs2.append(s)
+                inner(rhs2)
         return 0
 
     jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
@@ -433,8 +457,8 @@ def solve_lanes_pallas_subst(L, W, b, tile_b: int = 256,
     return x
 
 
-def _kernel_cols(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
-                 S_ref, Wy_ref):
+def _kernel_cols(m: int, H: int, bwd_trsv: bool, D_ref, U_ref, b_ref, x_ref,
+                 L_ref, y_ref, S_ref, Wy_ref):
     """Column-vectorized VMEM sweep for LARGE block sizes (m > ~16).
 
     The scalar-unrolled ``_kernel`` costs O(m^3) jaxpr equations — ~110k at
@@ -526,21 +550,36 @@ def _kernel_cols(m: int, H: int, D_ref, U_ref, b_ref, x_ref, L_ref, y_ref,
         def _():
             backsub(y_ref[k])
 
-        @pl.when(k < H - 1)
-        def _():
-            X0 = U_ref[k][:, :, None] * ones_tb
-            w_rows = _trsm(cols, invs, X0)
-            W = jnp.stack(w_rows)                     # (m, m, TB)
-            rhs = y_ref[k] - jnp.sum(W * x_ref[k + 1][None, :, :], axis=1)
-            backsub(rhs)
+        if bwd_trsv:
+            @pl.when(k < H - 1)
+            def _():
+                # z = W_k x_{k+1} = L_k^{-1} (U_k x_{k+1}): matvec + trsv on
+                # (m, TB) slices instead of the trsm's m (m, m, TB) updates
+                xk1 = x_ref[k + 1]                    # (m, TB)
+                Uk = U_ref[k]                         # (m, m)
+                v = Uk[:, 0:1] * xk1[0:1, :]
+                for j in range(1, m):
+                    v = v + Uk[:, j:j + 1] * xk1[j:j + 1, :]
+                zs = _trsv(cols, invs, v)
+                backsub(y_ref[k] - jnp.stack(zs))
+        else:
+            @pl.when(k < H - 1)
+            def _():
+                X0 = U_ref[k][:, :, None] * ones_tb
+                w_rows = _trsm(cols, invs, X0)
+                W = jnp.stack(w_rows)                 # (m, m, TB)
+                rhs = y_ref[k] - jnp.sum(W * x_ref[k + 1][None, :, :],
+                                         axis=1)
+                backsub(rhs)
         return 0
 
     jax.lax.fori_loop(0, H, bwd_step, 0, unroll=False)
 
 
-@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+@partial(jax.jit, static_argnames=("tile_b", "interpret", "bwd_trsv"))
 def solve_lanes_pallas_cols(D, U, b, tile_b: int = 128,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            bwd_trsv: bool = False):
     """Large-m lane-layout block-tridiagonal SPD solve (column kernel).
 
     Same contract as ``solve_lanes_pallas``; use for m > ~16 where the
@@ -551,7 +590,7 @@ def solve_lanes_pallas_cols(D, U, b, tile_b: int = 128,
     assert B % tile_b == 0, (B, tile_b)
     U3 = U[..., 0]
 
-    kernel = partial(_kernel_cols, m, H)
+    kernel = partial(_kernel_cols, m, H, bwd_trsv)
     grid = (B // tile_b,)
     x = pl.pallas_call(
         kernel,
@@ -627,12 +666,17 @@ def solve_lanes_auto(D, U, b):
         if tb is not None:
             if m <= _SCALAR_KERNEL_MAX_M:
                 return solve_lanes_pallas(D, U, b, tile_b=tb)
-            return solve_lanes_pallas_cols(D, U, b, tile_b=tb)
+            # trsv backward tail: 1.51-1.53 vs 1.60-1.67 ms/solve at the
+            # config-4 shapes, consistent over three interleaved runs
+            # (benchmarks/btridiag_trsv_ab.py)
+            return solve_lanes_pallas_cols(D, U, b, tile_b=tb,
+                                           bwd_trsv=True)
     return solve_lanes_core(D, U, b)
 
 
-@partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False):
+@partial(jax.jit, static_argnames=("tile_b", "interpret", "bwd_trsv"))
+def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False,
+                       bwd_trsv: bool = False):
     """Lane-layout block-tridiagonal SPD solve on a Pallas VMEM sweep.
 
     D (H, m, m, B), U (H, m, m, 1) (last block unused), b (H, m, B)
@@ -642,7 +686,7 @@ def solve_lanes_pallas(D, U, b, tile_b: int = 128, interpret: bool = False):
     assert B % tile_b == 0, (B, tile_b)
     U3 = U[..., 0]                                  # (H, m, m) shared scalars
 
-    kernel = partial(_kernel, m, H)
+    kernel = partial(_kernel, m, H, bwd_trsv)
     grid = (B // tile_b,)
     x = pl.pallas_call(
         kernel,

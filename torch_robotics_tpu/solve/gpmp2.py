@@ -234,13 +234,15 @@ def _gpmp2_step_lanes_impl(lanes_terms, theta, start_state, goal_state,
         # kernel keeps the whole sweep VMEM-resident with an O(m)-equation
         # body — 1.59 vs 41.2 ms/solve at H=32, m=40, B=256 against the
         # tiled path (benchmarks/solver_m40_ab.py, in-graph-D chained
-        # timing; parity 6e-7, stable on GN-like 1e8-precision systems)
+        # timing; parity 6e-7, stable on GN-like 1e8-precision systems);
+        # trsv backward tail 1.507 vs 1.601 (benchmarks/btridiag_trsv_ab.py)
         from ..ops.pallas_btridiag import (pallas_tile_for,
                                            solve_lanes_pallas_cols)
         B_l = D_l.shape[-1]
         tb = pallas_tile_for(H, m, B_l)
         if tb is not None:
-            x_l = solve_lanes_pallas_cols(D_l, U_l, b_l, tile_b=tb)
+            x_l = solve_lanes_pallas_cols(D_l, U_l, b_l, tile_b=tb,
+                                          bwd_trsv=True)
             delta = jnp.transpose(x_l, (2, 0, 1))
         else:
             # CPU / incompatible shapes: the reduce-form lanes Cholesky
