@@ -227,3 +227,58 @@ def test_sgpmp_sharded_converges(setup):
     assert res_sh.cost_trace.shape == (10, 16)
     assert bool(jnp.isfinite(gmean))
     assert bool(jnp.all(res_sh.cost_trace[-1] <= res_sh.cost_trace[0]))
+
+
+def test_sgpmp_sharded_chunked_distinct_noise(setup):
+    """Knee-chunked sGPMP must draw DISTINCT perturbation streams per chunk
+    (fold_in(chunk_id)): identical problems placed in different chunks on
+    the same device should NOT produce bit-identical trajectories."""
+    task, gparams = setup
+    mesh = make_mesh()
+    params = SGPMPParams(n_support_points=16, dt=0.04, opt_iters=5,
+                         num_samples=4, sigma_coll=1e-2,
+                         sigma_gp_sample=0.05)
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    one = gpmp2_init_trajs(jax.random.PRNGKey(2), gparams, start, goal,
+                           num_samples=4)
+    # 4 identical problems per device share -> 2 chunks of 2: rows 0 and 2
+    # land at the same intra-chunk index of different chunks
+    theta0 = jnp.tile(one[:1], (32, 1, 1))
+    res_sh, _ = sgpmp_solve_sharded(
+        task.collision_residuals, shard_batch(theta0, mesh), start, goal,
+        params, mesh, key=jax.random.PRNGKey(3), chunk=2)
+    t = np.asarray(res_sh.trajs)
+    assert res_sh.trajs.shape == (32, 16, 4)
+    assert bool(np.all(np.isfinite(t)))
+    # same device (rows 0-3 live on device 0), same intra-chunk index,
+    # different chunks -> different noise -> different optimized trajs
+    assert not np.allclose(t[0], t[2]), \
+        "chunks drew bit-identical perturbation streams"
+
+
+def test_chomp_sharded_padded_excludes_duplicates(setup):
+    """chomp_solve_sharded with a padded batch (n_valid) must exclude the
+    padded duplicate rows from the summed trace and the global mean."""
+    task, gparams = setup
+    mesh = make_mesh()
+    params = CHOMPParams(n_support_points=16, dt=0.04, opt_iters=10,
+                         sigma_coll=1e-2)
+    start = jnp.array([-0.9, -0.9, 0.0, 0.0])
+    goal = jnp.array([0.9, 0.9, 0.0, 0.0])
+    theta0 = gpmp2_init_trajs(jax.random.PRNGKey(1), gparams, start, goal,
+                              num_samples=13)
+    res_plain = chomp_solve(task.collision_residuals, theta0, start, goal,
+                            params, per_problem_trace=True)
+    padded, n_valid = shard_batch_padded(theta0, mesh)
+    res_sh, gmean = chomp_solve_sharded(
+        task.collision_residuals, padded, start, goal, params, mesh,
+        n_valid=n_valid)
+    trace_valid = np.asarray(res_plain.cost_trace)  # (iters, 13)
+    np.testing.assert_allclose(np.asarray(res_sh.cost_trace),
+                               trace_valid.sum(axis=1), rtol=1e-4)
+    np.testing.assert_allclose(float(gmean), trace_valid[-1].mean(),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_sh.trajs[:13]),
+                               np.asarray(res_plain.trajs), rtol=1e-5,
+                               atol=1e-5)

@@ -843,9 +843,11 @@ def collision_cost_pallas_factory(task):
     need gradients use ``obstacle_terms_lanes``'s g instead.  Off-TPU the
     returned fn falls back to the XLA terms graph's cost output.
 
-    Supports the same tasks as ``obstacle_terms_pallas_factory`` (single
-    kinematic robots and MultiRobot, analytic scenes, no learned net);
-    returns None otherwise.
+    Supports the same tasks as ``obstacle_terms_pallas_factory``: single
+    kinematic robots and MultiRobot; analytic scenes in-kernel and grid-SDF
+    scenes via the split pipeline (XLA packed-row gather -> values-only
+    extras consumed by the kernel); the learned self-collision net runs
+    in-kernel as MXU matmul rows.  Returns None otherwise (e.g. PointMass).
     """
     robot = task.robot
     from ..robots import RobotPointMass

@@ -328,18 +328,23 @@ def _sgpmp_sharded_fn(residual_fn, params, mesh, axis_name,
         # independent per-device sample stream: statistically equivalent
         # to (not bitwise-identical with) the unsharded solve
         key_l = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        B_l = theta0_l.shape[0]
+        # per-CHUNK streams too: without the fold every knee-sized chunk
+        # would draw a bit-identical (K, chunk, ...) perturbation array
+        chunk_ids = jnp.arange(B_l, dtype=jnp.int32) // (chunk or B_l)
 
         def body(a):
-            th, s, g = a
-            r = sgpmp_solve(residual_fn, th, s, g, params, key=key_l)
+            th, s, g, cid = a
+            key_c = jax.random.fold_in(key_l, cid[0])
+            r = sgpmp_solve(residual_fn, th, s, g, params, key=key_c)
             return r.trajs, jnp.moveaxis(r.cost_trace, 0, 1)
 
-        B_l = theta0_l.shape[0]
         s_b = (start_l if per_problem_endpoints
                else jnp.broadcast_to(start_l, (B_l,) + start_l.shape))
         g_b = (goal_l if per_problem_endpoints
                else jnp.broadcast_to(goal_l, (B_l,) + goal_l.shape))
-        trajs, trace_b = _chunked(body, (theta0_l, s_b, g_b), chunk)
+        trajs, trace_b = _chunked(body, (theta0_l, s_b, g_b, chunk_ids),
+                                  chunk)
         costs = trace_b[:, -1]
         return (trajs, trace_b), _masked_mean(costs, axis_name, n_valid)[None]
 
@@ -388,23 +393,21 @@ def _chomp_sharded_fn(residual_fn, params, mesh, axis_name,
 
         def body(a):
             th, s, g = a
-            r = chomp_solve(residual_fn, th, s, g, params)
-            # CHOMP's cost_trace is batch-SUMMED per iteration (iters,)
-            return r.trajs, r.cost_trace
+            r = chomp_solve(residual_fn, th, s, g, params,
+                            per_problem_trace=True)
+            # batch-leading per-problem trace so _chunked can reassemble
+            return r.trajs, jnp.moveaxis(r.cost_trace, 0, 1)
 
-        if chunk and B_l > chunk and B_l % chunk == 0:
-            n_c = B_l // chunk
-            trajs, trace_c = jax.lax.map(
-                body, jax.tree_util.tree_map(
-                    lambda a: a.reshape((n_c, chunk) + a.shape[1:]),
-                    (theta0_l, s_b, g_b)))
-            trajs = trajs.reshape((B_l,) + trajs.shape[2:])
-            trace_l = jnp.sum(trace_c, axis=0)
-        else:
-            trajs, trace_l = body((theta0_l, s_b, g_b))
-        # global trace: psum of the per-device batch sums over ICI
-        trace_g = jax.lax.psum(trace_l, axis_name)
-        return (trajs, trace_g), trace_g[-1:]
+        trajs, trace_b = _chunked(body, (theta0_l, s_b, g_b), chunk)
+        # padded rows (shard_batch_padded) excluded from BOTH statistics
+        if n_valid is not None:
+            row0 = jax.lax.axis_index(axis_name) * B_l
+            valid = ((row0 + jnp.arange(B_l)) < n_valid)
+            trace_b = jnp.where(valid[:, None], trace_b, 0.0)
+        # global summed trace (CHOMP's public semantics) over ICI
+        trace_g = jax.lax.psum(jnp.sum(trace_b, axis=0), axis_name)
+        gmean = _masked_mean(trace_b[:, -1], axis_name, n_valid)
+        return (trajs, trace_g), gmean[None]
 
     return _solve
 
@@ -417,14 +420,13 @@ def chomp_solve_sharded(residual_fn, theta0, start_state, goal_state, params,
     the unsharded solve per problem).  Returns a ``CHOMPResult`` whose
     ``cost_trace`` keeps CHOMP's batch-summed (iters,) semantics, psum'd
     across devices, plus the global mean final cost per problem.  With a
-    padded batch (``n_valid``) the padded rows repeat the last valid
-    problem, so the summed trace counts those duplicates; the returned
-    mean divides by the TOTAL row count, matching that sum."""
+    padded batch (``n_valid``) the padded duplicate rows are excluded
+    from both the summed trace and the mean (same contract as the
+    iLQR/sGPMP wrappers)."""
     from ..solve.chomp import CHOMPResult
     _solve = _chomp_sharded_fn(residual_fn, params, mesh, axis_name,
                                start_state.ndim > 1,
                                None if n_valid is None else int(n_valid),
                                None if chunk is None else int(chunk))
-    (trajs, trace_g), gsum = _solve(theta0, start_state, goal_state)
-    return CHOMPResult(trajs=trajs, cost_trace=trace_g), \
-        gsum[0] / theta0.shape[0]
+    (trajs, trace_g), gmean = _solve(theta0, start_state, goal_state)
+    return CHOMPResult(trajs=trajs, cost_trace=trace_g), gmean[0]

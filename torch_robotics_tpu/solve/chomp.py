@@ -51,10 +51,17 @@ class CHOMPResult(NamedTuple):
     cost_trace: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("residual_fn", "params"))
+@partial(jax.jit, static_argnames=("residual_fn", "params",
+                                   "per_problem_trace"))
 def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
-                params: CHOMPParams) -> CHOMPResult:
-    """theta0: (..., H, 2d) initial trajectories."""
+                params: CHOMPParams,
+                per_problem_trace: bool = False) -> CHOMPResult:
+    """theta0: (..., H, 2d) initial trajectories.
+
+    ``cost_trace`` is the batch-SUMMED obstacle cost per iteration
+    (iters,); with ``per_problem_trace`` it keeps the batch axis
+    (iters, ...) instead — the sharded wrapper uses this to exclude
+    padded rows from the global statistics."""
     m = theta0.shape[-1]
     d = m // 2
     lam = 1.0 / (params.sigma_coll ** 2)
@@ -69,24 +76,29 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
 
     cost_lanes = getattr(residual_fn, "collision_cost_lanes", None)
 
-    def obstacle_cost(theta):
-        q = theta[..., :d]
-        q_flat = q.reshape((-1, d))
-        if cost_lanes is not None:
-            return lam * jnp.sum(cost_lanes(q_flat.T))
-        r = (residual_fn(q_flat) if batched
-             else jax.vmap(residual_fn)(q_flat))
-        return 0.5 * lam * jnp.sum(jnp.square(r))
-
-    def obstacle_cost_residuals(theta):
-        """Residual-based cost expression — always differentiable.  The
-        autodiff fallback must NOT route through ``obstacle_cost`` when the
-        task exposes ``collision_cost_lanes``: that hook is a pallas_call
-        with no autodiff rule (forward-eval only)."""
+    def obstacle_cost_residuals_per_traj(theta):
+        """Residual-based per-trajectory cost (..., ) — always
+        differentiable.  The autodiff fallback must NOT route through the
+        ``collision_cost_lanes`` hook: that is a pallas_call with no
+        autodiff rule (forward-eval only)."""
         q_flat = theta[..., :d].reshape((-1, d))
         r = (residual_fn(q_flat) if batched
              else jax.vmap(residual_fn)(q_flat))
-        return 0.5 * lam * jnp.sum(jnp.square(r))
+        c_pt = 0.5 * lam * jnp.square(r).reshape(r.shape[0], -1).sum(-1)
+        return c_pt.reshape(theta.shape[:-2] + (-1,)).sum(-1)
+
+    def obstacle_cost_per_traj(theta):
+        """Per-trajectory obstacle cost (..., ); fused cost kernel when the
+        task exposes it (per-waypoint values align with the b-major point
+        flattening, so the reshape-sum recovers per-trajectory totals)."""
+        if cost_lanes is not None:
+            q_flat = theta[..., :d].reshape((-1, d))
+            c_pt = lam * cost_lanes(q_flat.T)
+            return c_pt.reshape(theta.shape[:-2] + (-1,)).sum(-1)
+        return obstacle_cost_residuals_per_traj(theta)
+
+    def obstacle_cost_residuals(theta):
+        return jnp.sum(obstacle_cost_residuals_per_traj(theta))
 
     def obstacle_grad_and_cost(theta):
         """(d obstacle_cost / d theta, obstacle_cost)."""
@@ -112,8 +124,8 @@ def chomp_solve(residual_fn: Callable, theta0, start_state, goal_state,
                   else block_tridiag_solve)
         delta = solver(D + 1e-6 * jnp.eye(m, dtype=theta.dtype), U, g)
         theta = theta - params.step_size * delta
-        cost = obstacle_cost(theta)
-        return theta, cost
+        cost = obstacle_cost_per_traj(theta)
+        return theta, (cost if per_problem_trace else jnp.sum(cost))
 
     theta, cost_trace = jax.lax.scan(step, theta0, None,
                                      length=params.opt_iters)
