@@ -6,7 +6,12 @@ batched (B, d+m+P, d+m) QR chain (B=512, H=32, 30 iters).  The lanes mode
 unrolls the factorization into (rows, cols, B) elementwise multiply-reduce
 ops with the batch in the minor axis (CLAUDE.md lessons 1/2), exploiting the
 stack's block sparsity (phase 1 touches only the top d+m rows; S@B and
-S@Phi are elementwise in the double-integrator structure).
+S@Phi are elementwise in the double-integrator structure).  The pallas
+mode (round 5 default) runs the SAME lanes sweep VMEM-resident in one
+kernel per lane tile (ops/pallas_riccati.py): chained per-iteration A/B
+0.975 vs 1.175 ms/iter, iLQR batch 10.7k -> 13.2k solves/s, tracking MPC
+150k -> 185k, quality equal (this file's timed_fetch numbers bill fixed
+dispatch+RTT to the solve — use the chained method for per-iter truth).
 
 Run: python benchmarks/ilqr_riccati_ab.py [--small]
 """
@@ -70,7 +75,7 @@ def main():
     limits = (robot.q_min, robot.q_max)
 
     results = {}
-    for mode in ("qr", "lanes"):
+    for mode in ("qr", "lanes", "pallas"):
         p = ILQRParams(n_support_points=H, dt=0.04, opt_iters=iters,
                        sigma_coll=2e-3, sigma_goal_prior=5e-3,
                        sigma_limits=5e-3, r_control=1e-6, riccati=mode)
@@ -93,9 +98,11 @@ def main():
         print(mode, json.dumps(results[mode]), flush=True)
 
     print(json.dumps({
-        "speedup": round(results["qr"]["solve_s"]
-                         / results["lanes"]["solve_s"], 2),
-        "quality_delta_free": round(results["lanes"]["fraction_free"]
+        "speedup_lanes": round(results["qr"]["solve_s"]
+                               / results["lanes"]["solve_s"], 2),
+        "speedup_pallas": round(results["qr"]["solve_s"]
+                                / results["pallas"]["solve_s"], 2),
+        "quality_delta_free": round(results["pallas"]["fraction_free"]
                                     - results["qr"]["fraction_free"], 3),
     }))
 
