@@ -100,3 +100,39 @@ def test_ilqr_riccati_pallas_mode_falls_back_on_cpu():
                        ILQRParams(riccati="pallas", **base))
     np.testing.assert_array_equal(np.asarray(r_lanes.trajs),
                                   np.asarray(r_pal.trajs))
+
+
+def test_rollout_pallas_matches_xla_interpret():
+    """Fused A-alpha closed-loop rollout parity vs the plain XLA scan."""
+    from torch_robotics_tpu.ops.pallas_riccati import (
+        linesearch_rollout_pallas_factory)
+    d, m, T, B = 3, 6, 7, 16
+    dt = 0.05
+    alphas = (1.0, 0.5, 0.1)
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    xs_l = jax.random.normal(k1, (T + 1, m, B))
+    U_l = jax.random.normal(k2, (T, d, B))
+    ks = jax.random.normal(k3, (T, d, B))
+    Ks = jax.random.normal(k4, (T, d, m, B)) * 0.1
+
+    def xla_rollout(alpha):
+        def step(x, inp):
+            x_ref, u_ref, k, K = inp
+            dx = x - x_ref
+            u = u_ref + alpha * k + jnp.sum(K * dx[None], axis=1)
+            x_next = jnp.concatenate(
+                [x[:d] + dt * x[d:] + 0.5 * dt * dt * u,
+                 x[d:] + dt * u], axis=0)
+            return x_next, (x_next, u)
+        _, (xs_new, U_new) = jax.lax.scan(
+            step, xs_l[0], (xs_l[:-1], U_l, ks, Ks))
+        return xs_new, U_new
+
+    xs_ref, U_ref = jax.vmap(xla_rollout)(jnp.asarray(alphas))
+    roll = linesearch_rollout_pallas_factory(d, m, T, dt, alphas)
+    xs_p, U_p = roll(xs_l, U_l, ks, Ks, tile_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(U_p), np.asarray(U_ref),
+                               rtol=1e-5, atol=1e-5)

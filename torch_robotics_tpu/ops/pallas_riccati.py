@@ -234,3 +234,102 @@ def riccati_backward_pallas_factory(d: int, m: int, P: int, T: int,
         return ks, Ks
 
     return sweep
+
+
+def _rollout_kernel(d: int, m: int, T: int, A: int, dt: float,
+                    alphas: tuple,
+                    xs_ref, U_ref, ks_ref, Ks_ref, xs_out, U_out):
+    """A-alpha closed-loop rollout, all alphas in one VMEM pass.
+
+    x_a(0) = xs[0] for every alpha; per step t:
+      u_a = U[t] + alpha_a k[t] + K[t] (x_a - xs[t]);  x_a step via the
+    double-integrator structure.  The XLA form is a 31-step lax.scan
+    vmapped over alphas whose per-step work is ~100 elementwise ops — scan
+    overhead and HBM round-trips of the carried states dominate it."""
+
+    x0 = xs_ref[0]                                       # (m, TB)
+    x_all = jnp.broadcast_to(x0[None], (A,) + x0.shape)  # (A, m, TB)
+
+    def step(t, x_all):
+        x_ref_t = [xs_ref[t, i] for i in range(m)]
+        K = [[Ks_ref[t, j, c] for c in range(m)] for j in range(d)]
+        u_base = [U_ref[t, j] for j in range(d)]
+        k_t = [ks_ref[t, j] for j in range(d)]
+        nxt = []
+        for a in range(A):
+            xa = [x_all[a, i] for i in range(m)]
+            dx = [xa[i] - x_ref_t[i] for i in range(m)]
+            u = []
+            for j in range(d):
+                acc = u_base[j] + alphas[a] * k_t[j]
+                for c in range(m):
+                    acc = acc + K[j][c] * dx[c]
+                u.append(acc)
+            x_next = ([xa[i] + dt * xa[i + d] + 0.5 * dt * dt * u[i]
+                       for i in range(d)]
+                      + [xa[i + d] + dt * u[i] for i in range(d)])
+            xs_out[a, t] = jnp.stack(x_next)
+            U_out[a, t] = jnp.stack(u)
+            nxt.append(jnp.stack(x_next))
+        return jnp.stack(nxt)
+
+    jax.lax.fori_loop(0, T, step, x_all, unroll=False)
+
+
+def rollout_pallas_tile_for(T: int, d: int, m: int, A: int, B: int):
+    if jax.default_backend() != "tpu":
+        return None
+    for tb in (512, 256, 128):
+        if B % tb:
+            continue
+        vmem = (2 * T * (m + d + d * m) + 2 * A * T * (m + d)
+                + A * m) * tb * 4
+        if vmem <= 88 * 1024 * 1024:
+            return tb
+    return None
+
+
+def linesearch_rollout_pallas_factory(d: int, m: int, T: int, dt: float,
+                                      alphas: tuple):
+    """fn(xs_l (H, m, B), U_t_l (T, d, B), ks (T, d, B), Ks (T, d, m, B))
+    -> (xs_new (A, T, m, B), U_new (A, T, d, B)) — the states AFTER step 0
+    (the caller prepends the shared initial state row)."""
+    A = len(alphas)
+    kernel = partial(_rollout_kernel, d, m, T, A, dt, tuple(alphas))
+
+    @partial(jax.jit, static_argnames=("tile_b", "interpret"))
+    def rollout(xs_l, U_t_l, ks, Ks, tile_b: int = 256,
+                interpret: bool = False):
+        B = U_t_l.shape[-1]
+        assert B % tile_b == 0, (B, tile_b)
+        from .pallas_btridiag import _out_struct
+        ops = (xs_l, U_t_l, ks, Ks)
+        H = xs_l.shape[0]
+        xs_new, U_new = pl.pallas_call(
+            kernel,
+            out_shape=[_out_struct((A, T, m, B), xs_l.dtype, *ops),
+                       _out_struct((A, T, d, B), xs_l.dtype, *ops)],
+            grid=(B // tile_b,),
+            in_specs=[
+                pl.BlockSpec((H, m, tile_b), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, d, tile_b), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, d, tile_b), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, d, m, tile_b), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((A, T, m, tile_b), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((A, T, d, tile_b), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xs_l, U_t_l, ks, Ks)
+        return xs_new, U_new
+
+    return rollout

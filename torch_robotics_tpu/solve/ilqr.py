@@ -427,6 +427,25 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
             step, xs_l[0], (xs_l[:-1], U_t_l, ks, Ks))
         return jnp.concatenate([xs_l[:1], xs_new], axis=0), U_new
 
+    def forward_all_pallas(xs_l, U_t_l, ks_l, Ks_l):
+        """All line-search alphas rolled out in ONE VMEM-resident kernel
+        (ops/pallas_riccati.py) instead of A vmapped 31-step XLA scans of
+        ~100-op bodies.  Returns (xs_c_l (A, H, m, B), U_c_l (A, H-1, d,
+        B)) or None off-TPU / at incompatible shapes."""
+        from ..ops.pallas_riccati import (linesearch_rollout_pallas_factory,
+                                          rollout_pallas_tile_for)
+        A = len(params.alphas)
+        tb = rollout_pallas_tile_for(H - 1, d, m, A, B)
+        if tb is None:
+            return None
+        roll = linesearch_rollout_pallas_factory(
+            d, m, H - 1, dt_, tuple(params.alphas))
+        xs_new, U_new = roll(xs_l, U_t_l, ks_l, Ks_l, tile_b=tb)
+        xs_c_l = jnp.concatenate(
+            [jnp.broadcast_to(xs_l[None, :1], (A, 1, m, B)), xs_new],
+            axis=1)
+        return xs_c_l, U_new
+
     def forward(xs, U_t, ks, Ks, alpha):
         """Closed-loop rollout at step size alpha; time-major inputs."""
         xs_ref_t = jnp.moveaxis(xs[:, :-1], 1, 0)              # (H-1, B, m)
@@ -453,8 +472,14 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
             ks_l, Ks_l = (backward_pallas if params.riccati == "pallas"
                           else backward_lanes)(xs, U_t_l)
             xs_l = jnp.transpose(xs, (1, 2, 0))                # (H, m, B)
-            xs_c_l, U_c_l = jax.vmap(
-                lambda a: forward_lanes(xs_l, U_t_l, ks_l, Ks_l, a))(alphas)
+            rolled = (forward_all_pallas(xs_l, U_t_l, ks_l, Ks_l)
+                      if params.riccati == "pallas" else None)
+            if rolled is None:
+                xs_c_l, U_c_l = jax.vmap(
+                    lambda a: forward_lanes(xs_l, U_t_l, ks_l, Ks_l,
+                                            a))(alphas)
+            else:
+                xs_c_l, U_c_l = rolled
             xs_c = jnp.transpose(xs_c_l, (0, 3, 1, 2))         # (A, B, H, m)
             U_c = jnp.transpose(U_c_l, (0, 3, 1, 2))
         else:
