@@ -59,7 +59,10 @@ def main():
     robot = RobotPanda.create()
     task = PlanningTask(env=env, robot=robot, obstacle_cutoff_margin=0.06)
     d = robot.q_dim
-    B = 32 if args.small else 512
+    # small mode keeps B=128: below the smallest lane tile the "pallas"
+    # leg would silently fall back to the lanes sweep and A/B lanes
+    # against itself (riccati_pallas_tile_for requires a 128-tile)
+    B = 128 if args.small else 512
     H = 16 if args.small else 32
     iters = 10 if args.small else 30
 

@@ -33,19 +33,7 @@ __all__ = ["solve_lanes_auto", "solve_lanes_pallas", "solve_lanes_pallas_cols",
 import numpy as np
 
 
-def _out_struct(shape, dtype, *operands):
-    """Output ShapeDtypeStruct carrying the operands' varying-mesh-axes.
-
-    Under ``jax.shard_map`` (check_vma=True, the default), a pallas_call
-    nested inside ``lax.scan``/``lax.map`` must declare which mesh axes its
-    output varies over — otherwise "vma on jax.ShapeDtypeStruct must not be
-    None" (hit by the chunked pod path, parallel/mesh.py)."""
-    vma = frozenset()
-    for op in operands:
-        vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+from .pallas_common import out_struct as _out_struct
 
 
 def _kernel(m: int, H: int, bwd_trsv: bool, D_ref, U_ref, b_ref, x_ref,

@@ -53,15 +53,7 @@ def gn_assembly_reference(r, Jr):
     return g, jnp.stack(rows), 0.5 * jnp.sum(r * r, axis=0)
 
 
-def _out_struct(shape, dtype, *operands):
-    """Under shard_map (check_vma=True) a pallas_call out_shape must carry
-    the union of the operands' varying-axis sets."""
-    vma = frozenset()
-    for op in operands:
-        vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+from .pallas_common import out_struct as _out_struct
 
 
 def _kernel(r_ref, j_ref, g_ref, h_ref, c_ref, *, d):

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["riccati_backward_pallas_factory", "riccati_pallas_tile_for"]
+__all__ = ["riccati_backward_pallas_factory", "riccati_pallas_tile_for",
+           "linesearch_rollout_pallas_factory", "rollout_pallas_tile_for"]
 
 
 def _kernel(d: int, m: int, P: int, T: int, dt: float, r: float,
@@ -165,7 +166,7 @@ def _kernel(d: int, m: int, P: int, T: int, dt: float, r: float,
     jax.lax.fori_loop(0, T, step, 0, unroll=False)
 
 
-def riccati_pallas_tile_for(T: int, d: int, m: int, P: int, B: int):
+def riccati_pallas_tile_for(d: int, m: int, P: int, T: int, B: int):
     """Lane tile for the Riccati sweep kernel, or None (dispatch guard)."""
     if jax.default_backend() != "tpu":
         return None
@@ -200,7 +201,7 @@ def riccati_backward_pallas_factory(d: int, m: int, P: int, T: int,
         grid = (B // tile_b,)
         # out_shape carries the operands' vma so shard_map callers see
         # correctly-varying outputs (CLAUDE.md lesson in ffd1809)
-        from .pallas_btridiag import _out_struct
+        from .pallas_common import out_struct as _out_struct
         ops = (U_t_l, l_l, Fc_l, Vx0)
         ks, Ks = pl.pallas_call(
             kernel,
@@ -276,7 +277,7 @@ def _rollout_kernel(d: int, m: int, T: int, A: int, dt: float,
     jax.lax.fori_loop(0, T, step, x_all, unroll=False)
 
 
-def rollout_pallas_tile_for(T: int, d: int, m: int, A: int, B: int):
+def rollout_pallas_tile_for(d: int, m: int, A: int, T: int, B: int):
     if jax.default_backend() != "tpu":
         return None
     for tb in (512, 256, 128):
@@ -302,7 +303,7 @@ def linesearch_rollout_pallas_factory(d: int, m: int, T: int, dt: float,
                 interpret: bool = False):
         B = U_t_l.shape[-1]
         assert B % tile_b == 0, (B, tile_b)
-        from .pallas_btridiag import _out_struct
+        from .pallas_common import out_struct as _out_struct
         ops = (xs_l, U_t_l, ks, Ks)
         H = xs_l.shape[0]
         xs_new, U_new = pl.pallas_call(

@@ -484,15 +484,7 @@ def obstacle_terms_pallas_factory(task):
                         extras_fn=extras_fn, const_arrays=tuple(net_consts))
 
 
-def _out_struct(shape, dtype, *operands):
-    """Under shard_map (check_vma=True) a pallas_call out_shape must
-    carry the union of the operands' varying-axis sets."""
-    vma = frozenset()
-    for op in operands:
-        vma = vma | frozenset(getattr(jax.typeof(op), "vma", ()) or ())
-    if vma:
-        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-    return jax.ShapeDtypeStruct(shape, dtype)
+from .pallas_common import out_struct as _out_struct
 
 
 def _build_terms(d, scene_spec, scene_arrays, _tile_body, xla_terms,

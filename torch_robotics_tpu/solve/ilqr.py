@@ -262,7 +262,7 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
 
     sqrt_kg = kg ** 0.5
 
-    def backward_lanes(xs, U_t_l):
+    def backward_lanes(xs, U_t_l, terms=None):
         """Same square-root Riccati math as ``backward``, in the lanes
         layout (batch in the minor axis) with the in-scan QR unrolled into
         a two-phase Householder factorization — the TPU fast path.  The
@@ -283,8 +283,10 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
         - S @ B and S @ Phi are elementwise in the double-integrator
           structure (Phi = [[I, dt I], [0, I]], B = [[dt^2/2 I], [dt I]]).
         Takes U_t_l (H-1, d, B) time-major lanes; returns ks (H-1, d, B),
-        Ks (H-1, d, m, B)."""
-        l_x_T, l_xs, F = running_terms(xs)
+        Ks (H-1, d, m, B).  ``terms``: precomputed running_terms output
+        (the pallas fallback path passes it to avoid evaluating the
+        dominant residual+Jacobian stage twice)."""
+        l_x_T, l_xs, F = running_terms(xs) if terms is None else terms
         l_l = jnp.transpose(l_xs, (1, 2, 0))                   # (H-1, m, B)
         F_l = jnp.transpose(F, (1, 2, 3, 0))               # (H-1, P, m, B)
         Vx0 = l_x_T.T                                          # (m, B)
@@ -402,9 +404,9 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
                                           riccati_pallas_tile_for)
         l_x_T, l_xs, F = running_terms(xs)
         P_tot = F.shape[-2]
-        tb = riccati_pallas_tile_for(H - 1, d, m, P_tot, B)
+        tb = riccati_pallas_tile_for(d, m, P_tot, H - 1, B)
         if tb is None:
-            return backward_lanes(xs, U_t_l)
+            return backward_lanes(xs, U_t_l, terms=(l_x_T, l_xs, F))
         l_l = jnp.transpose(l_xs, (1, 2, 0))               # (H-1, m, B)
         Fc_l = jnp.transpose(F, (1, 3, 2, 0))          # (H-1, m, P, B)
         sweep = riccati_backward_pallas_factory(
@@ -435,7 +437,7 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
         from ..ops.pallas_riccati import (linesearch_rollout_pallas_factory,
                                           rollout_pallas_tile_for)
         A = len(params.alphas)
-        tb = rollout_pallas_tile_for(H - 1, d, m, A, B)
+        tb = rollout_pallas_tile_for(d, m, A, H - 1, B)
         if tb is None:
             return None
         roll = linesearch_rollout_pallas_factory(
