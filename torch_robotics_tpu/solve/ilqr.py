@@ -394,6 +394,17 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
             step, (Vx0, S0), (U_t_l, l_l, F_l), reverse=True)
         return ks, Ks                        # (H-1, d, B), (H-1, d, m, B)
 
+    # batches that are not a multiple of the 128-lane tile are zero-padded
+    # on the lane axis (the sweep is per-lane; padded lanes stay NaN-free:
+    # every pivot is >= sqrt(r+mu) or sqrt(kg), beta is vtv-guarded).
+    # Lanes below a full tile are padded by the TPU anyway, so a padded
+    # kernel call beats falling back to the HBM-round-tripping XLA scan.
+    B_pad = -(-B // 128) * 128
+
+    def _pad_lanes(a):
+        return (a if B_pad == B else
+                jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, B_pad - B)]))
+
     def backward_pallas(xs, U_t_l):
         """Same sweep as ``backward_lanes`` but VMEM-resident: the whole
         reverse recursion runs inside one Pallas kernel per lane tile
@@ -404,14 +415,17 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
                                           riccati_pallas_tile_for)
         l_x_T, l_xs, F = running_terms(xs)
         P_tot = F.shape[-2]
-        tb = riccati_pallas_tile_for(d, m, P_tot, H - 1, B)
+        tb = riccati_pallas_tile_for(d, m, P_tot, H - 1, B_pad)
         if tb is None:
             return backward_lanes(xs, U_t_l, terms=(l_x_T, l_xs, F))
         l_l = jnp.transpose(l_xs, (1, 2, 0))               # (H-1, m, B)
         Fc_l = jnp.transpose(F, (1, 3, 2, 0))          # (H-1, m, P, B)
         sweep = riccati_backward_pallas_factory(
             d, m, P_tot, H - 1, dt_, r, params.mu, kg)
-        return sweep(U_t_l, l_l, Fc_l, l_x_T.T, tile_b=tb)
+        ks_l, Ks_l = sweep(_pad_lanes(U_t_l), _pad_lanes(l_l),
+                           _pad_lanes(Fc_l), _pad_lanes(l_x_T.T),
+                           tile_b=tb)
+        return ks_l[..., :B], Ks_l[..., :B]
 
     def forward_lanes(xs_l, U_t_l, ks, Ks, alpha):
         """Closed-loop rollout at step size alpha, lanes layout
@@ -437,12 +451,14 @@ def _ilqr_batch(residual_fn, x0, goal_state, params: ILQRParams,
         from ..ops.pallas_riccati import (linesearch_rollout_pallas_factory,
                                           rollout_pallas_tile_for)
         A = len(params.alphas)
-        tb = rollout_pallas_tile_for(d, m, A, H - 1, B)
+        tb = rollout_pallas_tile_for(d, m, A, H - 1, B_pad)
         if tb is None:
             return None
         roll = linesearch_rollout_pallas_factory(
             d, m, H - 1, dt_, tuple(params.alphas))
-        xs_new, U_new = roll(xs_l, U_t_l, ks_l, Ks_l, tile_b=tb)
+        xs_new, U_new = roll(_pad_lanes(xs_l), _pad_lanes(U_t_l),
+                             _pad_lanes(ks_l), _pad_lanes(Ks_l), tile_b=tb)
+        xs_new, U_new = xs_new[..., :B], U_new[..., :B]
         xs_c_l = jnp.concatenate(
             [jnp.broadcast_to(xs_l[None, :1], (A, 1, m, B)), xs_new],
             axis=1)
