@@ -636,9 +636,19 @@ def solve_lanes_auto(D, U, b):
     Pallas requires: TPU backend, a lane tile of >=128 dividing B, and the
     resident stacks fitting the scoped-VMEM budget.  Measured at the bench
     shapes (H=64, m=14, B=1024): 1.33 vs 2.04 ms/solve (tile_b=512).
+    Batches that are not a 128 multiple are EDGE-padded onto the kernel
+    (padded lanes repeat the last real problem — a well-conditioned real
+    solve, no synthetic pivots; zero-padding D would put sqrt(0)/indefinite
+    blocks there), then sliced back; the TPU pads partial lane tiles
+    anyway, so this beats falling back to the HBM-round-tripping XLA scan.
     """
     from ..solve.btridiag_lanes import solve_lanes_core
     H, m, _, B = D.shape
+    B_pad = -(-B // 128) * 128
+    if B_pad != B and U.shape[-1] == 1 and jax.default_backend() == "tpu":
+        pad = [(0, 0)] * 3 + [(0, B_pad - B)]
+        return solve_lanes_auto(jnp.pad(D, pad, mode="edge"), U,
+                                jnp.pad(b, pad[1:], mode="edge"))[..., :B]
     # the Pallas kernels read U as (H, m, m) shared scalars — per-batch
     # off-diagonal blocks (B > 1) would silently use batch 0's U
     if U.shape[-1] == 1:
